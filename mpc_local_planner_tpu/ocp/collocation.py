@@ -1,0 +1,66 @@
+"""Finite-difference collocation on SE(2).
+
+Parity: ``optimal_control/fd_collocation_se2.h`` (forward / midpoint /
+Crank-Nicolson SE(2) collocation terms) and the equality edges built by
+``optimal_control/finite_differences_grid_se2.h :: createEdges``.
+
+The reference's residual is ``(x_{k+1} ⊖ x_k)/dt − f(·)`` per stage, with the
+θ-difference wrapped on SO(2). We use the dt-scaled *defect* form
+
+    c_k = (x_k ⊞ dt·φ(x_k, u_k, x_{k+1})) ⊖ x_{k+1}
+
+(same zero set, better conditioned for the Riccati QP solve because
+∂c/∂x_{k+1} ≈ −I). All functions are stage-vectorized over k and over
+arbitrary leading batch dims; no Python control flow depends on data.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mpc_local_planner_tpu.core.so2 import normalize_angle, se2_interpolate
+
+
+def _wrap(d):
+    return d.at[..., 2].set(normalize_angle(d[..., 2]))
+
+
+def _phi_forward(model, xk, uk, xk1):
+    return model.f(xk, uk)
+
+
+def _phi_midpoint(model, xk, uk, xk1):
+    # SE(2)-aware midpoint: θ interpolated along the shortest arc.
+    xm = se2_interpolate(xk, xk1, 0.5)
+    return model.f(xm, uk)
+
+
+def _phi_crank_nicolson(model, xk, uk, xk1):
+    return 0.5 * (model.f(xk, uk) + model.f(xk1, uk))
+
+
+COLLOCATION_METHODS = {
+    "forward_differences": _phi_forward,
+    "midpoint_differences": _phi_midpoint,
+    "crank_nicolson_differences": _phi_crank_nicolson,
+}
+
+
+def stage_defect(model, method: str, xk, uk, xk1, dt):
+    """Single-stage collocation defect c_k (shape (..., 3))."""
+    phi = COLLOCATION_METHODS[method]
+    pred = xk + dt[..., None] * phi(model, xk, uk, xk1) if jnp.ndim(dt) else xk + dt * phi(model, xk, uk, xk1)
+    return _wrap(pred - xk1)
+
+
+def collocation_defects(model, method: str, xs, us, dt):
+    """All N stage defects for a trajectory.
+
+    xs: (..., N+1, 3); us: (..., N, nu); dt: (...,) scalar per trajectory.
+    Returns (..., N, 3). The equality constraint of the OCP is defects == 0.
+    """
+    phi = COLLOCATION_METHODS[method]
+    xk = xs[..., :-1, :]
+    xk1 = xs[..., 1:, :]
+    pred = xk + jnp.asarray(dt)[..., None, None] * phi(model, xk, us, xk1)
+    return _wrap(pred - xk1)

@@ -1,0 +1,547 @@
+"""Augmented-Lagrangian Gauss-Newton SQP — the batched TPU solver.
+
+Parity role: replaces the reference's solver layer
+(cbr:optimization/solver/nlp_solver_ipopt.h :: SolverIpopt — interior-point
+on the hypergraph NLP with MUMPS sparse KKT factorizations — and the
+LevenbergMarquardtDense fallback). SURVEY.md §8 step 4.
+
+Algorithm (fixed shape, jit/vmap-safe, no data-dependent Python control flow):
+  outer (AL)  : multiplier/penalty updates on all constraints
+                (PHR augmented Lagrangian; equalities for the xf_fixed
+                terminal components, inequalities for obstacles, control box,
+                control rate, dt box, terminal ball)
+  middle (SQP): per iteration — exact AD stage Hessians of the AL merit
+                (8×8 per stage; replaces corbo FD derivatives), linearized
+                collocation defects, equality-constrained QP solved by the
+                batched parametric Riccati sweep (solvers/riccati.py),
+                parallel-candidate line search on the AL merit,
+                Levenberg regularization adapted on rejection.
+
+Everything is one compiled program per OcpSpec; a batch of scenarios is one
+vmap. Per-scenario convergence is tracked with masks (batched solves fail /
+converge independently — SURVEY.md §6 failure-detection note).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_local_planner_tpu.core.so2 import angle_diff, se2_boxminus, se2_boxplus
+from mpc_local_planner_tpu.ocp import constraints as C
+from mpc_local_planner_tpu.ocp.grid import Primal, initial_primal
+from mpc_local_planner_tpu.ocp.problem import OcpFunctions, make_ocp_functions
+from mpc_local_planner_tpu.ocp.spec import OcpSpec
+from mpc_local_planner_tpu.solvers.riccati import (
+    build_augmented_transition,
+    lqr_solve,
+)
+
+
+# --------------------------------------------------------------------------- #
+# settings / state containers
+# --------------------------------------------------------------------------- #
+@dataclasses.dataclass(frozen=True)
+class SolverSettings:
+    """Static solver configuration (hashable; closed over by jit).
+
+    Parity: the `solver` YAML namespace (ipopt.iterations / max_cpu_time →
+    n_al·n_sqp fixed budget; lsq_lm penalty weights → rho0/rho_growth).
+    """
+
+    n_al: int = 5
+    n_sqp: int = 8
+    rho0: float = 10.0
+    rho_growth: float = 5.0
+    rho_max: float = 1.0e6
+    reg0: float = 1.0e-6
+    reg_shrink: float = 0.5
+    reg_grow: float = 100.0
+    reg_min: float = 1.0e-9
+    reg_max: float = 1.0e8
+    alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1, 0.03, 0.0)
+    dt_trust_frac: float = 0.3
+    viol_decrease_req: float = 0.25
+    tol_eq: float = 1.0e-4
+    tol_ineq: float = 1.0e-4
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DualState:
+    """AL multipliers + penalty. Shapes are static functions of the spec."""
+
+    lam_def: jax.Array   # (N, 3) collocation defect multipliers
+    lam_term: jax.Array  # (3,) xf_fixed equality multipliers
+    mu_obs: jax.Array    # (N, M) obstacle multipliers (stages 1..N)
+    mu_rate: jax.Array   # (N, 2*nu)
+    mu_box: jax.Array    # (N, 2*nu)
+    mu_dt: jax.Array     # (2,)
+    mu_ball: jax.Array   # (1,)
+    rho: jax.Array       # () penalty parameter
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SolveResult:
+    primal: Primal
+    duals: DualState
+    cost: jax.Array       # objective (no AL terms)
+    eq_norm: jax.Array    # max |equality residual|
+    ineq_viol: jax.Array  # max(0, max g)
+    converged: jax.Array  # bool per scenario
+
+
+def init_duals(spec: OcpSpec, settings: SolverSettings, dtype=jnp.float32) -> DualState:
+    N, nu, M = spec.N, spec.nu, spec.obstacle_cap
+    z = lambda *s: jnp.zeros(s, dtype=dtype)  # noqa: E731
+    return DualState(
+        lam_def=z(N, 3),
+        lam_term=z(3),
+        mu_obs=z(N, M),
+        mu_rate=z(N, 2 * nu),
+        mu_box=z(N, 2 * nu),
+        mu_dt=z(2),
+        mu_ball=z(1),
+        rho=jnp.asarray(settings.rho0, dtype=dtype),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# AL penalty pieces
+# --------------------------------------------------------------------------- #
+def _psi(g, mu, rho):
+    """PHR inequality penalty Σ (max(0, μ + ρg)² − μ²) / (2ρ) for g ≤ 0."""
+    a = jnp.maximum(0.0, mu + rho * g)
+    return jnp.sum(a * a - mu * mu) / (2.0 * rho)
+
+
+def _phi(c, lam, rho):
+    """Equality penalty λᵀc + (ρ/2)‖c‖²."""
+    return jnp.sum(lam * c) + 0.5 * rho * jnp.sum(c * c)
+
+
+# --------------------------------------------------------------------------- #
+# stage merit functions (AD'd for exact 8x8 stage Hessians)
+# --------------------------------------------------------------------------- #
+class StageData(NamedTuple):
+    xref: jax.Array      # (3,) goal / quadratic reference
+    via_pts: jax.Array   # (Mv, 3)
+    via_w: jax.Array     # (Mv,) assignment weight of each via point to this stage
+    mu_obs: jax.Array    # (M,)
+    obs_on: jax.Array    # () 1.0 if the obstacle term is active at this stage
+    mu_rate: jax.Array   # (2*nu,)
+    mu_box: jax.Array    # (2*nu,)
+    obs: object          # ObstacleSet (unbatched; possibly stage-predicted)
+
+
+class TermData(NamedTuple):
+    xref: jax.Array
+    via_pts: jax.Array
+    via_w: jax.Array
+    mu_obs: jax.Array
+    lam_term: jax.Array
+    mu_ball: jax.Array
+    mu_dt: jax.Array
+    obs: object
+
+
+def _via_term(spec, x, via_pts, via_w):
+    if spec.via_cap == 0 or spec.objective != "minimum_time_via_points":
+        return 0.0
+    dp = x[:2] - via_pts[:, :2]
+    t = spec.via_position_weight * jnp.sum(dp * dp, axis=-1)
+    if spec.via_orientation_weight > 0.0:
+        dth = angle_diff(x[2], via_pts[:, 2])
+        t = t + spec.via_orientation_weight * dth * dth
+    return jnp.sum(via_w * t)
+
+
+def _obstacle_g(spec, x, obs):
+    return spec.min_obstacle_dist - spec.footprint.distances(x, obs)
+
+
+def _make_stage_merit(spec: OcpSpec):
+    nu = spec.nu
+    lo_u, hi_u = spec.control_box()
+    lo_r, hi_r = spec.control_rate_box()
+
+    def merit(w, data: StageData, rho):
+        x, up, u, dt = w[0:3], w[3 : 3 + nu], w[3 + nu : 3 + 2 * nu], w[3 + 2 * nu]
+        dtype = w.dtype
+        # --- objective stage term -------------------------------------- #
+        if spec.objective == "quadratic_form":
+            q = jnp.asarray(spec.q_diag, dtype)
+            r = jnp.asarray(spec.r_diag, dtype)
+            dx = se2_boxminus(x, data.xref)
+            c = jnp.sum(dx * dx * q) + jnp.sum(u * u * r)
+            if spec.integral_form:
+                c = c * dt
+            if spec.hybrid_time_weight > 0.0:
+                c = c + spec.hybrid_time_weight * dt
+        else:  # minimum_time / minimum_time_via_points: Σ_k dt = N·dt
+            c = dt
+        c = c + _via_term(spec, x, data.via_pts, data.via_w)
+        # --- AL: obstacles (inactive at k = 0 where x is fixed) -------- #
+        if spec.obstacle_cap > 0:
+            g = _obstacle_g(spec, x, data.obs)
+            c = c + data.obs_on * _psi(g, data.mu_obs, rho)
+        # --- AL: control rate ------------------------------------------ #
+        du = (u - up) / dt
+        g_hi = jnp.where(jnp.isfinite(jnp.asarray(hi_r, dtype)), du - jnp.asarray(hi_r, dtype), -1.0)
+        g_lo = jnp.where(jnp.isfinite(jnp.asarray(lo_r, dtype)), jnp.asarray(lo_r, dtype) - du, -1.0)
+        c = c + _psi(jnp.concatenate([g_hi, g_lo]), data.mu_rate, rho)
+        # --- AL: control box ------------------------------------------- #
+        g_box = jnp.concatenate(
+            [u - jnp.asarray(hi_u, dtype), jnp.asarray(lo_u, dtype) - u]
+        )
+        c = c + _psi(g_box, data.mu_box, rho)
+        return c
+
+    return merit
+
+
+def _make_terminal_merit(spec: OcpSpec):
+    nu = spec.nu
+
+    def merit(w, data: TermData, rho):
+        x, dt = w[0:3], w[3 + nu]
+        dtype = w.dtype
+        dx = se2_boxminus(x, data.xref)
+        c = jnp.asarray(0.0, dtype)
+        if spec.qf_diag is not None:
+            qf = jnp.asarray(spec.qf_diag, dtype)
+            c = c + jnp.sum(dx * dx * qf)
+        c = c + _via_term(spec, x, data.via_pts, data.via_w)
+        if spec.obstacle_cap > 0:
+            g = _obstacle_g(spec, x, data.obs)
+            c = c + _psi(g, data.mu_obs, rho)
+        if spec.ball_radius > 0.0:
+            s = jnp.asarray(spec.ball_weights, dtype)
+            g_ball = jnp.sum(dx * dx * s) - spec.ball_radius**2
+            c = c + _psi(g_ball[None], data.mu_ball, rho)
+        mask = jnp.asarray(spec.xf_fixed)
+        ceq = jnp.where(mask, dx, 0.0)
+        c = c + _phi(ceq, data.lam_term, rho)
+        if spec.variable_dt:
+            g_dt = jnp.stack([dt - spec.dt_max, spec.dt_min - dt])
+            c = c + _psi(g_dt, data.mu_dt, rho)
+        return c
+
+    return merit
+
+
+# --------------------------------------------------------------------------- #
+# per-solve data assembly
+# --------------------------------------------------------------------------- #
+def _stage_obstacles(spec, scenario, dt, n):
+    """Per-stage obstacle sets, leaves broadcast to a leading (n,) axis.
+
+    Stage i of the returned pytree is the obstacle field at time t = i·dt·
+    [dynamic flag] (constant-velocity extrapolation, dt stop-gradded —
+    matching the reference, which treats predicted obstacle positions as
+    stage data, not decision-dependent quantities).
+    """
+    obs0 = scenario.obstacles
+    if spec.enable_dynamic_obstacles:
+        t = jnp.arange(n, dtype=dt.dtype) * jax.lax.stop_gradient(dt)
+        pred = obs0.predict(t)
+    else:
+        pred = obs0
+    return jax.tree_util.tree_map(
+        lambda a, o: a if a.ndim == o.ndim + 1 else jnp.broadcast_to(a, (n,) + a.shape),
+        pred,
+        obs0,
+    )
+
+
+def _via_weights(spec, xs, scenario):
+    """One-hot nearest-stage assignment of via points, (N+1, Mv).
+
+    Piecewise-constant in xs: recomputed each SQP iteration, not AD'd
+    (parity: MinTimeViaPointsCost's discrete stage association).
+    """
+    if spec.via_cap == 0:
+        return jnp.zeros((spec.N + 1, 0), dtype=xs.dtype)
+    d2 = jnp.sum(
+        (xs[None, :, :2] - scenario.via_points[:, None, :2]) ** 2, axis=-1
+    )  # (Mv, N+1)
+    k_near = jnp.argmin(d2, axis=-1)  # (Mv,)
+    onehot = jax.nn.one_hot(k_near, spec.N + 1, dtype=xs.dtype)  # (Mv, N+1)
+    return (onehot * scenario.via_mask[:, None].astype(xs.dtype)).T
+
+
+# --------------------------------------------------------------------------- #
+# AL merit of a full trajectory (line-search objective)
+# --------------------------------------------------------------------------- #
+def _al_merit(funcs: OcpFunctions, primal: Primal, scenario, duals: DualState):
+    s = funcs.spec
+    rho = duals.rho
+    m = funcs.cost(primal, scenario)
+    d = funcs.defects(primal)
+    m = m + _phi(d, duals.lam_def, rho)
+    te = C.terminal_equality(s, primal.xs, scenario.xf)
+    m = m + _phi(te, duals.lam_term, rho)
+    g_obs = C.obstacle_inequalities(s, primal.xs, primal.dt, scenario)
+    m = m + _psi(g_obs, duals.mu_obs, rho)
+    g_rate = C.control_rate_inequalities(s, primal.us, primal.dt, scenario.u_prev)
+    m = m + _psi(g_rate, duals.mu_rate, rho)
+    g_box = C.control_box_inequalities(s, primal.us)
+    m = m + _psi(g_box, duals.mu_box, rho)
+    if s.variable_dt:
+        g_dt = C.dt_inequalities(s, primal.dt, primal.xs.dtype)
+        m = m + _psi(g_dt, duals.mu_dt, rho)
+    g_ball = C.terminal_ball_inequality(s, primal.xs, scenario.xf)
+    m = m + _psi(g_ball, duals.mu_ball, rho)
+    return m
+
+
+# --------------------------------------------------------------------------- #
+# one SQP iteration: derivatives → Riccati → line search
+# --------------------------------------------------------------------------- #
+def _sqp_iteration(spec, funcs, settings, stage_merit, term_merit, primal, scenario, duals, reg):
+    N, nx, nu = spec.N, spec.nx, spec.nu
+    nw = nx + 2 * nu + 1
+    na = nx + nu + 1
+    dtype = primal.xs.dtype
+    xs, us, dt = primal.xs, primal.us, primal.dt
+
+    # ---- defect linearization ------------------------------------------ #
+    from mpc_local_planner_tpu.ocp.collocation import stage_defect
+
+    def defect(xk, uk, xk1, dtv):
+        return stage_defect(spec.model, spec.collocation, xk, uk, xk1, dtv)
+
+    xk, xk1 = xs[:-1], xs[1:]
+    dt_b = jnp.broadcast_to(dt, (N,))
+    cvals = jax.vmap(defect)(xk, us, xk1, dt_b)
+    A, B, E, h = jax.vmap(jax.jacfwd(defect, argnums=(0, 1, 2, 3)))(xk, us, xk1, dt_b)
+    F = -jnp.linalg.solve(E, A)
+    G = -jnp.linalg.solve(E, B)
+    mcol = -jnp.linalg.solve(E, h[..., None])[..., 0]
+    if not spec.variable_dt:
+        mcol = jnp.zeros_like(mcol)
+    raff = -jnp.linalg.solve(E, cvals[..., None])[..., 0]
+    Fz, Gz, rz = build_augmented_transition(F, G, mcol, raff, nu=nu)
+
+    # ---- stage data ----------------------------------------------------- #
+    via_w = _via_weights(spec, xs, scenario)          # (N+1, Mv)
+    obs_k = _stage_obstacles(spec, scenario, dt, N + 1)
+    obs_stages = jax.tree_util.tree_map(lambda a: a[:N], obs_k)
+    obs_term = jax.tree_util.tree_map(lambda a: a[N], obs_k)
+    M = spec.obstacle_cap
+    # obstacle multiplier rows: stage k uses mu_obs[k-1]; k = 0 inactive.
+    mu_obs_stage = jnp.concatenate(
+        [jnp.zeros((1, M), dtype), duals.mu_obs[: N - 1]], axis=0
+    )
+    obs_on = jnp.concatenate([jnp.zeros((1,), dtype), jnp.ones((N - 1,), dtype)])
+    sdata = StageData(
+        xref=jnp.broadcast_to(scenario.xf, (N, nx)),
+        via_pts=jnp.broadcast_to(scenario.via_points, (N,) + scenario.via_points.shape),
+        via_w=via_w[:N],
+        mu_obs=mu_obs_stage,
+        obs_on=obs_on,
+        mu_rate=duals.mu_rate,
+        mu_box=duals.mu_box,
+        obs=obs_stages,
+    )
+    u_ext = jnp.concatenate([scenario.u_prev[None], us], axis=0)  # (N+1, nu)
+    ws = jnp.concatenate(
+        [xk, u_ext[:-1], us, jnp.broadcast_to(dt, (N,))[:, None]], axis=-1
+    )  # (N, nw)
+
+    gstage = jax.vmap(jax.grad(stage_merit), in_axes=(0, 0, None))(ws, sdata, duals.rho)
+    Hstage = jax.vmap(jax.hessian(stage_merit), in_axes=(0, 0, None))(ws, sdata, duals.rho)
+
+    zi = np.array(list(range(0, nx + nu)) + [nw - 1])
+    ui = np.arange(nx + nu, nx + 2 * nu)
+    Hzz = Hstage[:, zi[:, None], zi[None, :]]
+    Hzu = Hstage[:, zi[:, None], ui[None, :]]
+    Huu = Hstage[:, ui[:, None], ui[None, :]]
+    hz = gstage[:, zi]
+    hu = gstage[:, ui]
+
+    tdata = TermData(
+        xref=scenario.xf,
+        via_pts=scenario.via_points,
+        via_w=via_w[N],
+        mu_obs=duals.mu_obs[N - 1],
+        lam_term=duals.lam_term,
+        mu_ball=duals.mu_ball,
+        mu_dt=duals.mu_dt,
+        obs=obs_term,
+    )
+    wN = jnp.concatenate([xs[N], us[N - 1], dt[None]])
+    pN = jax.grad(term_merit)(wN, tdata, duals.rho)
+    PN = jax.hessian(term_merit)(wN, tdata, duals.rho)
+
+    # ---- structured KKT solve ------------------------------------------- #
+    step = lqr_solve(
+        Fz, Gz, rz, Hzz, Hzu, Huu, hz, hu, PN, pN, reg,
+        nx=nx, free_tau=spec.variable_dt,
+    )
+
+    # ---- parallel-candidate line search on the AL merit ------------------ #
+    dt_lo = max(spec.dt_min, 1.0e-3) if spec.variable_dt else spec.dt_ref
+    dt_hi = spec.dt_max if spec.variable_dt else spec.dt_ref
+
+    def apply(alpha):
+        xs_n = se2_boxplus(xs, alpha * step.dxs)
+        us_n = us + alpha * step.dus
+        dt_n = jnp.clip(dt + alpha * step.dtau, dt_lo, dt_hi)
+        return Primal(xs=xs_n, us=us_n, dt=dt_n)
+
+    # relative trust region on dt: the linearization degrades quickly in dt
+    # (it divides every collocation residual), so cap the step to a fraction
+    # of the current dt by scaling the whole search direction.
+    alpha_cap = jnp.where(
+        jnp.abs(step.dtau) > 0.0,
+        jnp.minimum(1.0, settings.dt_trust_frac * dt / jnp.maximum(jnp.abs(step.dtau), 1e-30)),
+        1.0,
+    )
+    alphas = jnp.asarray(settings.alphas, dtype) * alpha_cap
+    cands = jax.vmap(apply)(alphas)
+    merits = jax.vmap(lambda p: _al_merit(funcs, p, scenario, duals))(cands)
+    merits = jnp.where(jnp.isfinite(merits), merits, jnp.inf)
+    best = jnp.argmin(merits)
+    accepted = alphas[best] > 0.0
+    new_primal = jax.tree_util.tree_map(lambda a: a[best], cands)
+    new_reg = jnp.where(
+        accepted,
+        jnp.maximum(reg * settings.reg_shrink, settings.reg_min),
+        jnp.minimum(jnp.maximum(reg, settings.reg0) * settings.reg_grow, settings.reg_max),
+    )
+    return new_primal, new_reg
+
+
+# --------------------------------------------------------------------------- #
+# dual (multiplier) updates
+# --------------------------------------------------------------------------- #
+def _update_duals(
+    spec, funcs, primal, scenario, duals: DualState, settings, viol_prev
+) -> Tuple[DualState, jax.Array]:
+    """First-order multiplier update + conditional penalty growth.
+
+    ρ grows only when the total violation failed to drop by
+    ``viol_decrease_req`` since the previous AL iteration (standard AL
+    safeguard: let multipliers do the work while they are making progress —
+    over-growing ρ stalls the Riccati steps on ill-conditioned Hessians).
+    """
+    rho = duals.rho
+    d = funcs.defects(primal)
+    te = C.terminal_equality(spec, primal.xs, scenario.xf)
+    g_obs = C.obstacle_inequalities(spec, primal.xs, primal.dt, scenario)
+    g_rate = C.control_rate_inequalities(spec, primal.us, primal.dt, scenario.u_prev)
+    g_box = C.control_box_inequalities(spec, primal.us)
+    g_dt = C.dt_inequalities(spec, primal.dt, primal.xs.dtype)
+    g_ball = C.terminal_ball_inequality(spec, primal.xs, scenario.xf)
+    upd = lambda mu, g: jnp.maximum(0.0, mu + rho * g)  # noqa: E731
+    mask = jnp.asarray(spec.xf_fixed)
+    viol = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(d)), jnp.max(jnp.abs(te))),
+        jnp.maximum(
+            jnp.max(jnp.concatenate([g.ravel() for g in (g_obs, g_rate, g_box, g_dt, g_ball)])),
+            0.0,
+        ),
+    )
+    grow = viol > settings.viol_decrease_req * viol_prev
+    new = DualState(
+        lam_def=duals.lam_def + rho * d,
+        lam_term=jnp.where(mask, duals.lam_term + rho * te, 0.0),
+        mu_obs=upd(duals.mu_obs, g_obs),
+        mu_rate=upd(duals.mu_rate, g_rate),
+        mu_box=upd(duals.mu_box, g_box),
+        mu_dt=upd(duals.mu_dt, g_dt) if spec.variable_dt else duals.mu_dt,
+        mu_ball=upd(duals.mu_ball, g_ball),
+        rho=jnp.where(
+            grow, jnp.minimum(rho * settings.rho_growth, settings.rho_max), rho
+        ),
+    )
+    return new, viol
+
+
+# --------------------------------------------------------------------------- #
+# full solve
+# --------------------------------------------------------------------------- #
+def solve_single(
+    spec: OcpSpec,
+    settings: SolverSettings,
+    scenario,
+    init: Primal,
+    duals: DualState,
+) -> SolveResult:
+    """Solve one unbatched OCP. jit/vmap over this for batches."""
+    funcs = make_ocp_functions(spec)
+    stage_merit = _make_stage_merit(spec)
+    term_merit = _make_terminal_merit(spec)
+    dtype = init.xs.dtype
+    reg0 = jnp.asarray(settings.reg0, dtype)
+
+    def al_body(carry, _):
+        primal, duals, reg, viol_prev = carry
+
+        def sqp_body(c2, _):
+            p, r = c2
+            p2, r2 = _sqp_iteration(
+                spec, funcs, settings, stage_merit, term_merit, p, scenario, duals, r
+            )
+            return (p2, r2), None
+
+        (primal, reg), _ = jax.lax.scan(
+            sqp_body, (primal, reg), None, length=settings.n_sqp
+        )
+        duals, viol = _update_duals(
+            spec, funcs, primal, scenario, duals, settings, viol_prev
+        )
+        return (primal, duals, reg, viol), None
+
+    (primal, duals, _, _), _ = jax.lax.scan(
+        al_body,
+        (init, duals, reg0, jnp.asarray(jnp.inf, dtype)),
+        None,
+        length=settings.n_al,
+    )
+
+    cost = funcs.cost(primal, scenario)
+    eq = funcs.eq(primal, scenario)
+    g = funcs.ineq(primal, scenario)
+    eq_norm = jnp.max(jnp.abs(eq))
+    viol = jnp.maximum(jnp.max(g), 0.0)
+    converged = jnp.logical_and(eq_norm < settings.tol_eq, viol < settings.tol_ineq)
+    return SolveResult(
+        primal=primal, duals=duals, cost=cost, eq_norm=eq_norm,
+        ineq_viol=viol, converged=converged,
+    )
+
+
+def make_solver(spec: OcpSpec, settings: Optional[SolverSettings] = None, batched: bool = True):
+    """Build the jitted solve function for a spec.
+
+    Returns solve(scenario, init, duals) → SolveResult. With batched=True all
+    arguments carry one leading batch axis (the scenario ensemble); compile
+    once per (spec, batch shape).
+    """
+    settings = settings or SolverSettings()
+
+    def solve(scenario, init, duals):
+        return solve_single(spec, settings, scenario, init, duals)
+
+    if batched:
+        solve = jax.vmap(solve)
+    return jax.jit(solve)
+
+
+def default_init(spec: OcpSpec, settings: SolverSettings, scenario, dtype=jnp.float32):
+    """(initial primal, fresh duals) for a scenario batch (host-side helper)."""
+    init = initial_primal(spec, scenario)
+    batch = scenario.x0.shape[:-1]
+    duals = init_duals(spec, settings, dtype=dtype)
+    if batch:
+        duals = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, batch + a.shape), duals
+        )
+    return init, duals

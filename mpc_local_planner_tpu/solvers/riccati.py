@@ -1,0 +1,130 @@
+"""Batched Riccati (LQR) sweep: the structured KKT solve of the SQP.
+
+This replaces the reference's sparse-KKT factorization (IPOPT + MUMPS LDLᵀ of
+the banded collocation NLP; SURVEY.md §4.2 hot spot #3) with the
+block-tridiagonal-aware equivalent: a discrete-time Riccati backward sweep +
+affine forward rollout, exact for the equality-constrained QP subproblem.
+
+TPU-first design decisions:
+  - The shared decision variable dt (min-time problems) is folded into an
+    *augmented stage state* z_k = [δx_k, δu_{k-1}, δτ] (δτ_k+1 = δτ_k), which
+    keeps the KKT block-tridiagonal instead of bordered — no Schur complement,
+    one code path for fixed and variable dt.
+  - δu_{k-1} rides along so control-rate (acceleration) penalties stay
+    stage-separable (classic rate-penalty state augmentation).
+  - Everything is a fixed-shape `lax.scan`; a whole batch of scenarios is
+    solved by `vmap` (scenario batch → lanes). Block sizes are tiny
+    (na = nx+nu+1 = 6, nu = 2), so per-chip throughput comes from batching,
+    not per-problem parallelism. A Pallas lane-batched variant lives in
+    ops/ (same interface) for the hot path.
+
+All functions are dtype-polymorphic (f64 under tests, f32 on TPU).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LqrStep(NamedTuple):
+    """Solution of one equality-constrained QP subproblem."""
+
+    dxs: jax.Array    # (N+1, nx) state step
+    dus: jax.Array    # (N, nu) control step
+    dtau: jax.Array   # () dt step
+    dV: jax.Array     # () predicted merit decrease (model reduction, >= 0)
+
+
+def lqr_solve(
+    Fz, Gz, rz, Hzz, Hzu, Huu, hz, hu, PN, pN, reg, *, nx: int, free_tau: bool
+) -> LqrStep:
+    """Solve min Σ_k [½ zᵀHzz z + zᵀHzu u + ½ uᵀHuu u + hzᵀz + huᵀu] + terminal
+    s.t. z_{k+1} = Fz_k z_k + Gz_k u_k + rz_k,  z_0 = [0, 0, δτ] (δτ free iff
+    free_tau).
+
+    Shapes: Fz (N, na, na), Gz (N, na, nu), rz (N, na), Hzz (N, na, na),
+    Hzu (N, na, nu), Huu (N, nu, nu), hz (N, na), hu (N, nu), PN (na, na),
+    pN (na,). reg is a scalar Levenberg regularizer added to Quu (and to the
+    δτ minimization).
+    """
+    na = Fz.shape[-1]
+    nu = Gz.shape[-1]
+    I_u = jnp.eye(nu, dtype=Fz.dtype)
+
+    def backward(carry, inp):
+        P, p = carry
+        F, G, r, hzz, hzu, huu, gz, gu = inp
+        PF = P @ F
+        PG = P @ G
+        Qzz = hzz + F.T @ PF
+        Quu = huu + G.T @ PG + reg * I_u
+        Qzu = hzu + F.T @ PG
+        Pr_p = P @ r + p
+        qz = gz + F.T @ Pr_p
+        qu = gu + G.T @ Pr_p
+        K = -jnp.linalg.solve(Quu, Qzu.T)      # (nu, na)
+        kff = -jnp.linalg.solve(Quu, qu)       # (nu,)
+        Pn = Qzz + Qzu @ K
+        Pn = 0.5 * (Pn + Pn.T)
+        pn = qz + Qzu @ kff
+        # model decrease bookkeeping: ΔV += ½ kffᵀ Quu kff  (= −½ quᵀ kff)
+        dv = -0.5 * jnp.dot(qu, kff)
+        return (Pn, pn), (K, kff, dv)
+
+    (P0, p0), (Ks, kffs, dvs) = jax.lax.scan(
+        backward, (PN, pN), (Fz, Gz, rz, Hzz, Hzu, Huu, hz, hu), reverse=True
+    )
+
+    # initial stage: δx_0 = 0, δu_{-1} = 0; minimize over δτ when free.
+    ptau = p0[na - 1]
+    Ptau = P0[na - 1, na - 1] + reg
+    dtau = jnp.where(
+        jnp.asarray(free_tau), -ptau / jnp.maximum(Ptau, jnp.finfo(Fz.dtype).tiny), 0.0
+    ).astype(Fz.dtype)
+    dv_tau = jnp.where(jnp.asarray(free_tau), 0.5 * Ptau * dtau * dtau, 0.0)
+
+    z0 = jnp.zeros((na,), dtype=Fz.dtype).at[na - 1].set(dtau)
+
+    def forward(z, inp):
+        K, kff, F, G, r = inp
+        u = K @ z + kff
+        zn = F @ z + G @ u + r
+        return zn, (z, u)
+
+    zN, (zs, us) = jax.lax.scan(forward, z0, (Ks, kffs, Fz, Gz, rz))
+    zs_all = jnp.concatenate([zs, zN[None]], axis=0)  # (N+1, na)
+    return LqrStep(
+        dxs=zs_all[:, :nx],
+        dus=us,
+        dtau=dtau,
+        dV=jnp.sum(dvs) + dv_tau,
+    )
+
+
+def build_augmented_transition(F, G, m, r, *, nu: int):
+    """Assemble augmented-state transition matrices.
+
+    Inputs are the eliminated-defect linearization
+        δx_{k+1} = F δx_k + G δu_k + m δτ + r
+    with F (N, nx, nx), G (N, nx, nu), m (N, nx), r (N, nx). Returns
+    (Fz, Gz, rz) over z = [δx, δu_prev, δτ] (na = nx + nu + 1):
+        δx rows:      [F, 0, m]·z + G·δu + r
+        δu_prev rows: δu_k  (pure control pass-through)
+        δτ row:       δτ_k
+    """
+    N, nx = F.shape[0], F.shape[1]
+    na = nx + nu + 1
+    dtype = F.dtype
+    Fz = jnp.zeros((N, na, na), dtype=dtype)
+    Fz = Fz.at[:, :nx, :nx].set(F)
+    Fz = Fz.at[:, :nx, na - 1].set(m)
+    Fz = Fz.at[:, na - 1, na - 1].set(1.0)
+    Gz = jnp.zeros((N, na, nu), dtype=dtype)
+    Gz = Gz.at[:, :nx, :].set(G)
+    Gz = Gz.at[:, nx : nx + nu, :].set(jnp.eye(nu, dtype=dtype))
+    rz = jnp.zeros((N, na), dtype=dtype)
+    rz = rz.at[:, :nx].set(r)
+    return Fz, Gz, rz

@@ -19,9 +19,15 @@ import jax.numpy as jnp
 _EPS = 1e-12
 
 
+def _safe_norm(d):
+    """‖d‖ with a bounded gradient at 0 (plain norm AD yields NaN there —
+    and trajectory inits routinely pass exactly through obstacle centers)."""
+    return jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+
+
 def point_to_point(p, q):
     """|p - q| with batch broadcasting; last dim = 2."""
-    return jnp.linalg.norm(p - q, axis=-1)
+    return _safe_norm(p - q)
 
 
 def point_to_segment(p, a, b):
@@ -30,7 +36,7 @@ def point_to_segment(p, a, b):
     denom = jnp.maximum(jnp.sum(ab * ab, axis=-1), _EPS)
     t = jnp.clip(jnp.sum((p - a) * ab, axis=-1) / denom, 0.0, 1.0)
     closest = a + t[..., None] * ab
-    return jnp.linalg.norm(p - closest, axis=-1)
+    return _safe_norm(p - closest)
 
 
 def _orient(a, b, c):

@@ -141,6 +141,11 @@ class Scenario:
         if obstacle_set is None:
             obstacle_set = ObstacleSet.empty(dtype=dtype)
         batch = x0.shape[:-1]
+        if batch and obstacle_set.points.ndim == 2:
+            # broadcast an unbatched obstacle field over the scenario batch
+            obstacle_set = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a, batch + a.shape), obstacle_set
+            )
         return Scenario(
             x0=x0,
             xf=xf,

@@ -63,11 +63,27 @@ class SolverSettings:
     reg_grow: float = 100.0
     reg_min: float = 1.0e-9
     reg_max: float = 1.0e8
-    alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1, 0.03, 0.0)
+    alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1, 0.03)
     dt_trust_frac: float = 0.3
     viol_decrease_req: float = 0.25
     tol_eq: float = 1.0e-4
     tol_ineq: float = 1.0e-4
+
+    @staticmethod
+    def for_spec(spec, **overrides) -> "SolverSettings":
+        """Problem-family presets (cold start).
+
+        Min-time problems have (near-)zero objective curvature — they need a
+        stiffer initial penalty and more iterations than quadratic-form
+        problems to resolve the time-optimal structure. Warm-started MPC
+        cycles can cut n_al/n_sqp well below these.
+        """
+        if spec.min_time:
+            base = dict(n_al=16, n_sqp=15, rho0=100.0, rho_growth=10.0)
+        else:
+            base = dict(n_al=8, n_sqp=10)
+        base.update(overrides)
+        return SolverSettings(**base)
 
 
 @jax.tree_util.register_dataclass
@@ -165,15 +181,32 @@ def _obstacle_g(spec, x, obs):
     return spec.min_obstacle_dist - spec.footprint.distances(x, obs)
 
 
-def _make_stage_merit(spec: OcpSpec):
+def _make_stage_fns(spec: OcpSpec):
+    """Stage-local functions over w = [x (3), u_prev (nu), u (nu), dt (1)].
+
+    Returns (objective, constraints_vec, merit):
+      objective(w, data)        — cost terms only (no AL)
+      constraints_vec(w, data)  — stacked g ≤ 0 vector
+                                  [obstacles (M), rate (2nu), box (2nu)]
+      merit(w, data, rho)       — objective + exact PHR penalties (for the
+                                  exact AL gradient)
+    The SQP Hessian is Gauss-Newton: H = ∇²objective + Jgᵀ diag(a) Jg with
+    a_i = ρ·[active]. It is obtained by AD of the surrogate
+    objective(w) + ½ Σ a_i (g_i(w) − g_i(w₀))², whose Hessian at w₀ is
+    exactly the GN matrix (the (g−g₀) factor kills constraint curvature).
+    PSD by construction — exact Hessians of obstacle distances are indefinite
+    and stall the Riccati steps.
+    """
     nu = spec.nu
     lo_u, hi_u = spec.control_box()
     lo_r, hi_r = spec.control_rate_box()
 
-    def merit(w, data: StageData, rho):
-        x, up, u, dt = w[0:3], w[3 : 3 + nu], w[3 + nu : 3 + 2 * nu], w[3 + 2 * nu]
+    def split(w):
+        return w[0:3], w[3 : 3 + nu], w[3 + nu : 3 + 2 * nu], w[3 + 2 * nu]
+
+    def objective(w, data: StageData):
+        x, up, u, dt = split(w)
         dtype = w.dtype
-        # --- objective stage term -------------------------------------- #
         if spec.objective == "quadratic_form":
             q = jnp.asarray(spec.q_diag, dtype)
             r = jnp.asarray(spec.r_diag, dtype)
@@ -185,54 +218,137 @@ def _make_stage_merit(spec: OcpSpec):
                 c = c + spec.hybrid_time_weight * dt
         else:  # minimum_time / minimum_time_via_points: Σ_k dt = N·dt
             c = dt
-        c = c + _via_term(spec, x, data.via_pts, data.via_w)
-        # --- AL: obstacles (inactive at k = 0 where x is fixed) -------- #
+        return c + _via_term(spec, x, data.via_pts, data.via_w)
+
+    def constraints_vec(w, data: StageData):
+        x, up, u, dt = split(w)
+        dtype = w.dtype
+        parts = []
         if spec.obstacle_cap > 0:
-            g = _obstacle_g(spec, x, data.obs)
-            c = c + data.obs_on * _psi(g, data.mu_obs, rho)
-        # --- AL: control rate ------------------------------------------ #
+            parts.append(_obstacle_g(spec, x, data.obs))
         du = (u - up) / dt
-        g_hi = jnp.where(jnp.isfinite(jnp.asarray(hi_r, dtype)), du - jnp.asarray(hi_r, dtype), -1.0)
-        g_lo = jnp.where(jnp.isfinite(jnp.asarray(lo_r, dtype)), jnp.asarray(lo_r, dtype) - du, -1.0)
-        c = c + _psi(jnp.concatenate([g_hi, g_lo]), data.mu_rate, rho)
-        # --- AL: control box ------------------------------------------- #
-        g_box = jnp.concatenate(
-            [u - jnp.asarray(hi_u, dtype), jnp.asarray(lo_u, dtype) - u]
+        g_hi = jnp.where(
+            jnp.isfinite(jnp.asarray(hi_r, dtype)), du - jnp.asarray(hi_r, dtype), -1.0
         )
-        c = c + _psi(g_box, data.mu_box, rho)
-        return c
+        g_lo = jnp.where(
+            jnp.isfinite(jnp.asarray(lo_r, dtype)), jnp.asarray(lo_r, dtype) - du, -1.0
+        )
+        parts.append(jnp.concatenate([g_hi, g_lo]))
+        parts.append(
+            jnp.concatenate([u - jnp.asarray(hi_u, dtype), jnp.asarray(lo_u, dtype) - u])
+        )
+        return jnp.concatenate(parts)
 
-    return merit
+    def stage_mu(data: StageData):
+        mus = []
+        if spec.obstacle_cap > 0:
+            mus.append(data.mu_obs)
+        mus.append(data.mu_rate)
+        mus.append(data.mu_box)
+        return jnp.concatenate(mus)
+
+    def active_mask(data: StageData, g):
+        """Active-set weight pattern; zeroes the obstacle block at k = 0."""
+        on = [
+            jnp.broadcast_to(data.obs_on, (spec.obstacle_cap,)),
+            jnp.ones((4 * nu,), g.dtype),
+        ]
+        return jnp.concatenate(on) if spec.obstacle_cap > 0 else on[1]
+
+    def merit(w, data: StageData, rho):
+        g = constraints_vec(w, data)
+        mu = stage_mu(data)
+        on = active_mask(data, g)
+        a = jnp.maximum(0.0, mu + rho * g) * on
+        return objective(w, data) + jnp.sum(a * a - (mu * on) ** 2) / (2.0 * rho)
+
+    M = spec.obstacle_cap
+
+    def hess_surrogate(w, data: StageData, rho, g0, aw):
+        """Hessian surrogate: exact for every smooth-PSD term, Gauss-Newton
+        for the obstacle block only — obstacle-distance curvature (∇²d) is
+        indefinite and would leak into the Riccati value matrices."""
+        g = constraints_vec(w, data)
+        g_rest, mu_rest = g[M:], stage_mu(data)[M:]
+        a = jnp.maximum(0.0, mu_rest + rho * g_rest)
+        c = objective(w, data) + jnp.sum(a * a - mu_rest * mu_rest) / (2.0 * rho)
+        return c + 0.5 * jnp.sum(aw * (g[:M] - g0[:M]) ** 2)
+
+    def gn_weights(data: StageData, g0, rho):
+        mu = stage_mu(data)
+        on = active_mask(data, g0)
+        return (rho * on * (mu + rho * g0 > 0.0).astype(g0.dtype))[:M]
+
+    return objective, constraints_vec, merit, hess_surrogate, gn_weights
 
 
-def _make_terminal_merit(spec: OcpSpec):
+def _make_terminal_fns(spec: OcpSpec):
+    """Terminal counterparts over w = [x (3), u_prev (nu), dt (1)]."""
     nu = spec.nu
 
-    def merit(w, data: TermData, rho):
-        x, dt = w[0:3], w[3 + nu]
+    def objective(w, data: TermData):
+        x = w[0:3]
         dtype = w.dtype
         dx = se2_boxminus(x, data.xref)
         c = jnp.asarray(0.0, dtype)
         if spec.qf_diag is not None:
             qf = jnp.asarray(spec.qf_diag, dtype)
             c = c + jnp.sum(dx * dx * qf)
-        c = c + _via_term(spec, x, data.via_pts, data.via_w)
+        return c + _via_term(spec, x, data.via_pts, data.via_w)
+
+    def constraints_vec(w, data: TermData):
+        x, dt = w[0:3], w[3 + nu]
+        dtype = w.dtype
+        dx = se2_boxminus(x, data.xref)
+        parts = []
         if spec.obstacle_cap > 0:
-            g = _obstacle_g(spec, x, data.obs)
-            c = c + _psi(g, data.mu_obs, rho)
+            parts.append(_obstacle_g(spec, x, data.obs))
         if spec.ball_radius > 0.0:
             s = jnp.asarray(spec.ball_weights, dtype)
-            g_ball = jnp.sum(dx * dx * s) - spec.ball_radius**2
-            c = c + _psi(g_ball[None], data.mu_ball, rho)
-        mask = jnp.asarray(spec.xf_fixed)
-        ceq = jnp.where(mask, dx, 0.0)
-        c = c + _phi(ceq, data.lam_term, rho)
+            parts.append((jnp.sum(dx * dx * s) - spec.ball_radius**2)[None])
+        else:
+            parts.append(jnp.full((1,), -1.0, dtype))
         if spec.variable_dt:
-            g_dt = jnp.stack([dt - spec.dt_max, spec.dt_min - dt])
-            c = c + _psi(g_dt, data.mu_dt, rho)
-        return c
+            parts.append(jnp.stack([dt - spec.dt_max, spec.dt_min - dt]))
+        else:
+            parts.append(jnp.full((2,), -1.0, dtype))
+        return jnp.concatenate(parts)
 
-    return merit
+    def eq_vec(w, data: TermData):
+        dx = se2_boxminus(w[0:3], data.xref)
+        return jnp.where(jnp.asarray(spec.xf_fixed), dx, 0.0)
+
+    def term_mu(data: TermData):
+        mus = []
+        if spec.obstacle_cap > 0:
+            mus.append(data.mu_obs)
+        mus.append(data.mu_ball)
+        mus.append(data.mu_dt)
+        return jnp.concatenate(mus)
+
+    def merit(w, data: TermData, rho):
+        g = constraints_vec(w, data)
+        mu = term_mu(data)
+        c = objective(w, data) + _psi(g, mu, rho)
+        return c + _phi(eq_vec(w, data), data.lam_term, rho)
+
+    M = spec.obstacle_cap
+
+    def hess_surrogate(w, data: TermData, rho, g0, aw):
+        """Exact Hessian for ball/dt/xf-equality (all PSD: linear or convex
+        quadratic constraint functions), GN for the obstacle block."""
+        g = constraints_vec(w, data)
+        g_rest, mu_rest = g[M:], term_mu(data)[M:]
+        a = jnp.maximum(0.0, mu_rest + rho * g_rest)
+        c = objective(w, data) + jnp.sum(a * a - mu_rest * mu_rest) / (2.0 * rho)
+        c = c + _phi(eq_vec(w, data), data.lam_term, rho)
+        return c + 0.5 * jnp.sum(aw * (g[:M] - g0[:M]) ** 2)
+
+    def gn_weights(data: TermData, g0, rho):
+        mu = term_mu(data)
+        return (rho * (mu + rho * g0 > 0.0).astype(g0.dtype))[:M]
+
+    return objective, constraints_vec, eq_vec, merit, hess_surrogate, gn_weights
 
 
 # --------------------------------------------------------------------------- #
@@ -303,7 +419,7 @@ def _al_merit(funcs: OcpFunctions, primal: Primal, scenario, duals: DualState):
 # --------------------------------------------------------------------------- #
 # one SQP iteration: derivatives → Riccati → line search
 # --------------------------------------------------------------------------- #
-def _sqp_iteration(spec, funcs, settings, stage_merit, term_merit, primal, scenario, duals, reg):
+def _sqp_iteration(spec, funcs, settings, stage_fns, term_fns, primal, scenario, duals, reg):
     N, nx, nu = spec.N, spec.nx, spec.nu
     nw = nx + 2 * nu + 1
     na = nx + nu + 1
@@ -354,8 +470,14 @@ def _sqp_iteration(spec, funcs, settings, stage_merit, term_merit, primal, scena
         [xk, u_ext[:-1], us, jnp.broadcast_to(dt, (N,))[:, None]], axis=-1
     )  # (N, nw)
 
+    _, stage_cons, stage_merit, stage_hess, stage_gn_w = stage_fns
+    # exact AL gradient; Hessian from the hybrid surrogate (exact + obstacle GN)
     gstage = jax.vmap(jax.grad(stage_merit), in_axes=(0, 0, None))(ws, sdata, duals.rho)
-    Hstage = jax.vmap(jax.hessian(stage_merit), in_axes=(0, 0, None))(ws, sdata, duals.rho)
+    g0 = jax.vmap(stage_cons)(ws, sdata)
+    aw = jax.vmap(stage_gn_w, in_axes=(0, 0, None))(sdata, g0, duals.rho)
+    Hstage = jax.vmap(jax.hessian(stage_hess), in_axes=(0, 0, None, 0, 0))(
+        ws, sdata, duals.rho, g0, aw
+    )
 
     zi = np.array(list(range(0, nx + nu)) + [nw - 1])
     ui = np.arange(nx + nu, nx + 2 * nu)
@@ -375,9 +497,12 @@ def _sqp_iteration(spec, funcs, settings, stage_merit, term_merit, primal, scena
         mu_dt=duals.mu_dt,
         obs=obs_term,
     )
+    _, term_cons, term_eq, term_merit, term_hess, term_gn_w = term_fns
     wN = jnp.concatenate([xs[N], us[N - 1], dt[None]])
     pN = jax.grad(term_merit)(wN, tdata, duals.rho)
-    PN = jax.hessian(term_merit)(wN, tdata, duals.rho)
+    gT0 = term_cons(wN, tdata)
+    awT = term_gn_w(tdata, gT0, duals.rho)
+    PN = jax.hessian(term_hess)(wN, tdata, duals.rho, gT0, awT)
 
     # ---- structured KKT solve ------------------------------------------- #
     step = lqr_solve(
@@ -403,17 +528,32 @@ def _sqp_iteration(spec, funcs, settings, stage_merit, term_merit, primal, scena
         jnp.minimum(1.0, settings.dt_trust_frac * dt / jnp.maximum(jnp.abs(step.dtau), 1e-30)),
         1.0,
     )
-    alphas = jnp.asarray(settings.alphas, dtype) * alpha_cap
+    alphas = jnp.concatenate(
+        [jnp.asarray(settings.alphas, dtype) * alpha_cap, jnp.zeros((1,), dtype)]
+    )
     cands = jax.vmap(apply)(alphas)
     merits = jax.vmap(lambda p: _al_merit(funcs, p, scenario, duals))(cands)
     merits = jnp.where(jnp.isfinite(merits), merits, jnp.inf)
+    merit0 = merits[-1]  # alpha = 0 candidate = current iterate
     best = jnp.argmin(merits)
     accepted = alphas[best] > 0.0
     new_primal = jax.tree_util.tree_map(lambda a: a[best], cands)
+    # Regularization policy: shrink on acceptance; on rejection grow ONLY if
+    # the QP predicted a meaningful decrease (model mismatch). A rejected step
+    # with negligible predicted decrease means this AL phase is solved to
+    # machine precision — hold reg so the next phase starts healthy.
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    stationary = step.dV <= jnp.sqrt(eps) * (1.0 + jnp.abs(merit0))
     new_reg = jnp.where(
         accepted,
         jnp.maximum(reg * settings.reg_shrink, settings.reg_min),
-        jnp.minimum(jnp.maximum(reg, settings.reg0) * settings.reg_grow, settings.reg_max),
+        jnp.where(
+            stationary,
+            reg,
+            jnp.minimum(
+                jnp.maximum(reg, settings.reg0) * settings.reg_grow, settings.reg_max
+            ),
+        ),
     )
     return new_primal, new_reg
 
@@ -448,7 +588,12 @@ def _update_duals(
             0.0,
         ),
     )
-    grow = viol > settings.viol_decrease_req * viol_prev
+    # grow while violation stalls OR is not yet well below tolerance — the
+    # floor guarantees tight terminal feasibility once progress slows.
+    grow = jnp.logical_or(
+        viol > settings.viol_decrease_req * viol_prev,
+        viol > 0.05 * settings.tol_eq,
+    )
     new = DualState(
         lam_def=duals.lam_def + rho * d,
         lam_term=jnp.where(mask, duals.lam_term + rho * te, 0.0),
@@ -476,8 +621,8 @@ def solve_single(
 ) -> SolveResult:
     """Solve one unbatched OCP. jit/vmap over this for batches."""
     funcs = make_ocp_functions(spec)
-    stage_merit = _make_stage_merit(spec)
-    term_merit = _make_terminal_merit(spec)
+    stage_fns = _make_stage_fns(spec)
+    term_fns = _make_terminal_fns(spec)
     dtype = init.xs.dtype
     reg0 = jnp.asarray(settings.reg0, dtype)
 
@@ -487,7 +632,7 @@ def solve_single(
         def sqp_body(c2, _):
             p, r = c2
             p2, r2 = _sqp_iteration(
-                spec, funcs, settings, stage_merit, term_merit, p, scenario, duals, r
+                spec, funcs, settings, stage_fns, term_fns, p, scenario, duals, r
             )
             return (p2, r2), None
 

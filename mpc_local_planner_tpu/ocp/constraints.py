@@ -46,17 +46,26 @@ def obstacle_inequalities(spec, xs, dt, scenario):
 def control_rate_inequalities(spec, us, dt, u_prev):
     """Acceleration bounds on control differences, stages k = 0..N-1.
 
-    g_hi = (u_k − u_{k−1})/dt − hi ≤ 0 ;  g_lo = lo − (u_k − u_{k−1})/dt ≤ 0
-    with u_{−1} = u_prev (the control applied last cycle). Unbounded entries
-    (inf limits) are mapped to always-inactive residuals.
+    The reference bounds (u_k − u_{k−1})/dt ∈ [lo, hi]; we enforce the
+    dt-scaled equivalent (identical feasible set for dt > 0):
+
+      g_hi = (u_k − u_{k−1}) − hi·dt ≤ 0 ;  g_lo = lo·dt − (u_k − u_{k−1}) ≤ 0
+
+    with u_{−1} = u_prev (the control applied last cycle). The scaled form has
+    no 1/dt — its curvature stays bounded as the variable-dt solver explores
+    small dt, where the quotient form's exact Hessian (∝ du/dt³) explodes.
+    Unbounded entries (inf limits) map to always-inactive residuals.
     """
     lo, hi = spec.control_rate_box()
-    lo = jnp.asarray(lo, dtype=us.dtype)
-    hi = jnp.asarray(hi, dtype=us.dtype)
+    # sanitize ±inf limits to a large finite sentinel BEFORE any arithmetic:
+    # inf·dt inside a jnp.where still poisons the gradient (0·inf = NaN).
+    lo = jnp.maximum(jnp.asarray(lo, dtype=us.dtype), -BIG_DISTANCE)
+    hi = jnp.minimum(jnp.asarray(hi, dtype=us.dtype), BIG_DISTANCE)
     u_ext = jnp.concatenate([u_prev[..., None, :], us], axis=-2)
-    du = (u_ext[..., 1:, :] - u_ext[..., :-1, :]) / jnp.asarray(dt)[..., None, None]
-    g_hi = jnp.where(jnp.isfinite(hi), du - hi, -BIG_DISTANCE)
-    g_lo = jnp.where(jnp.isfinite(lo), lo - du, -BIG_DISTANCE)
+    du = u_ext[..., 1:, :] - u_ext[..., :-1, :]
+    dtb = jnp.asarray(dt)[..., None, None]
+    g_hi = du - hi * dtb
+    g_lo = lo * dtb - du
     return jnp.concatenate([g_hi, g_lo], axis=-1)  # (..., N, 2*nu)
 
 

@@ -39,8 +39,30 @@ class Primal:
         return self.dt.shape
 
 
+def _seed_controls(spec, xs, dt):
+    """Consistent initial controls from the interpolated state path.
+
+    Channel 0 of every model is forward velocity: seed it with the signed
+    body-frame displacement per stage. Leaving u = 0 is degenerate for
+    min-time problems — at u = 0, ∂(defect)/∂dt = f(x, 0) = 0 for kinematic
+    models, so the QP sees no feasibility pushback against shrinking dt and
+    collapses the horizon (this is also why the reference nudges its grids
+    from the plan rather than zeros).
+    """
+    p = xs[..., :2]
+    th = xs[..., :-1, 2]
+    heading = jnp.stack([jnp.cos(th), jnp.sin(th)], axis=-1)
+    disp = p[..., 1:, :] - p[..., :-1, :]
+    v = jnp.sum(disp * heading, axis=-1) / dt[..., None]
+    lo, hi = spec.control_box()
+    v = jnp.clip(v, lo[0], hi[0]).astype(xs.dtype)
+    us = jnp.zeros(xs.shape[:-2] + (spec.N, spec.nu), dtype=xs.dtype)
+    return us.at[..., 0].set(v)
+
+
 def initial_primal(spec, scenario) -> Primal:
-    """Straight-line SE(2) interpolation x0 → xf, zero controls, dt = dt_ref.
+    """Straight-line SE(2) interpolation x0 → xf, path-seeded controls,
+    dt = dt_ref.
 
     Parity: FullDiscretizationGridBaseSE2 initialization (linear interpolation
     with shortest-arc angle blending).
@@ -51,8 +73,8 @@ def initial_primal(spec, scenario) -> Primal:
         out_axes=-2,
     )(alphas)
     batch = scenario.x0.shape[:-1]
-    us = jnp.zeros(batch + (spec.N, spec.nu), dtype=scenario.x0.dtype)
     dt = jnp.full(batch, spec.dt_ref, dtype=scenario.x0.dtype)
+    us = _seed_controls(spec, xs, dt)
     return Primal(xs=xs, us=us, dt=dt)
 
 

@@ -1,0 +1,98 @@
+"""Mesh construction and sharded batched solves.
+
+TPU-first design (SURVEY.md §8 step 6): the scenario ensemble is the data-
+parallel axis. A 2-D mesh ('dcn', 'ici') maps multi-host slices: the batch
+is sharded over both axes (pure data parallelism rides ICI within a slice
+and DCN across slices); per-scenario Riccati solves never communicate, so
+the only collectives are ensemble reductions (`psum` over convergence masks
+and solve statistics) — laid out so they ride ICI first.
+
+The same code runs on a virtual CPU mesh (tests/CI via
+--xla_force_host_platform_device_count) and on real TPU slices.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mpc_local_planner_tpu.solvers.al_sqp import SolverSettings, solve_single
+
+
+def make_mesh(
+    n_dcn: int = 1, n_ici: Optional[int] = None, devices=None
+) -> Mesh:
+    """Build a ('dcn', 'ici') mesh. Defaults to all devices on one DCN group."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_ici is None:
+        n_ici = len(devices) // n_dcn
+    if n_dcn * n_ici != len(devices):
+        raise ValueError(
+            f"mesh {n_dcn}x{n_ici} != {len(devices)} devices"
+        )
+    arr = np.asarray(devices).reshape(n_dcn, n_ici)
+    return Mesh(arr, axis_names=("dcn", "ici"))
+
+
+def batch_spec() -> P:
+    """PartitionSpec sharding a leading scenario-batch axis over the mesh."""
+    return P(("dcn", "ici"))
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Device-put a pytree whose leaves have a leading scenario-batch axis."""
+    spec = batch_spec()
+
+    def put(a):
+        pspec = P(spec[0], *([None] * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(mesh, pspec))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def make_sharded_solver(spec, settings: Optional[SolverSettings] = None, mesh: Optional[Mesh] = None):
+    """Jitted batched solver with scenario sharding constrained to the mesh.
+
+    The solve itself is vmapped (scenarios → lanes); XLA partitions the batch
+    across devices from the input shardings — no collectives in the solve.
+    """
+    settings = settings or SolverSettings.for_spec(spec)
+
+    def solve(scenario, init, duals):
+        return jax.vmap(lambda s, i, d: solve_single(spec, settings, s, i, d))(
+            scenario, init, duals
+        )
+
+    if mesh is None:
+        return jax.jit(solve)
+    sharding = NamedSharding(mesh, batch_spec())
+
+    def constrained(scenario, init, duals):
+        out = solve(scenario, init, duals)
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P(batch_spec()[0], *([None] * (a.ndim - 1))))
+            ),
+            out,
+        )
+
+    _ = sharding
+    return jax.jit(constrained)
+
+
+def ensemble_summary(result):
+    """Global ensemble statistics — the cross-device reduction of a solve.
+
+    Returns (n_converged, mean_cost, max_eq_norm, max_ineq_viol) as scalars;
+    under a sharded batch XLA lowers these to psum/all-reduce over ICI/DCN.
+    """
+    return (
+        jnp.sum(result.converged.astype(jnp.int32)),
+        jnp.mean(result.cost),
+        jnp.max(result.eq_norm),
+        jnp.max(result.ineq_viol),
+    )

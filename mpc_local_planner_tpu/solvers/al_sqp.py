@@ -226,14 +226,15 @@ def _make_stage_fns(spec: OcpSpec):
         parts = []
         if spec.obstacle_cap > 0:
             parts.append(_obstacle_g(spec, x, data.obs))
-        du = (u - up) / dt
-        g_hi = jnp.where(
-            jnp.isfinite(jnp.asarray(hi_r, dtype)), du - jnp.asarray(hi_r, dtype), -1.0
-        )
-        g_lo = jnp.where(
-            jnp.isfinite(jnp.asarray(lo_r, dtype)), jnp.asarray(lo_r, dtype) - du, -1.0
-        )
-        parts.append(jnp.concatenate([g_hi, g_lo]))
+        # dt-scaled rate bounds (see constraints.control_rate_inequalities);
+        # ±inf limits sanitized to finite sentinels before arithmetic (the
+        # 0·inf = NaN jnp.where-gradient trap)
+        du = u - up
+        from mpc_local_planner_tpu.geometry.obstacles import BIG_DISTANCE as _BIG
+
+        hi_s = jnp.minimum(jnp.asarray(hi_r, dtype), _BIG)
+        lo_s = jnp.maximum(jnp.asarray(lo_r, dtype), -_BIG)
+        parts.append(jnp.concatenate([du - hi_s * dt, lo_s * dt - du]))
         parts.append(
             jnp.concatenate([u - jnp.asarray(hi_u, dtype), jnp.asarray(lo_u, dtype) - u])
         )
@@ -509,6 +510,21 @@ def _sqp_iteration(spec, funcs, settings, stage_fns, term_fns, primal, scenario,
         Fz, Gz, rz, Hzz, Hzu, Huu, hz, hu, PN, pN, reg,
         nx=nx, free_tau=spec.variable_dt,
     )
+    # NaN quarantine (SURVEY.md §6): a non-finite KKT solve (blown-up value
+    # matrices) becomes a zero step — the line search then rejects it and the
+    # regularization ramps up, instead of poisoning the iterate (note
+    # 0·NaN = NaN, so even an α = 0 candidate is unsafe without this).
+    step_ok = (
+        jnp.all(jnp.isfinite(step.dxs))
+        & jnp.all(jnp.isfinite(step.dus))
+        & jnp.isfinite(step.dtau)
+    )
+    step = step._replace(
+        dxs=jnp.where(step_ok, step.dxs, 0.0),
+        dus=jnp.where(step_ok, step.dus, 0.0),
+        dtau=jnp.where(step_ok, step.dtau, 0.0),
+        dV=jnp.where(step_ok, step.dV, jnp.inf),  # force reg growth on reject
+    )
 
     # ---- parallel-candidate line search on the AL merit ------------------ #
     dt_lo = max(spec.dt_min, 1.0e-3) if spec.variable_dt else spec.dt_ref
@@ -533,28 +549,26 @@ def _sqp_iteration(spec, funcs, settings, stage_fns, term_fns, primal, scenario,
     )
     cands = jax.vmap(apply)(alphas)
     merits = jax.vmap(lambda p: _al_merit(funcs, p, scenario, duals))(cands)
+    # non-finite candidate merits lose the line search; the α = 0 candidate
+    # equals the current iterate (the step is finite by construction above)
     merits = jnp.where(jnp.isfinite(merits), merits, jnp.inf)
+    merits = merits.at[-1].set(jnp.minimum(merits[-1], jnp.finfo(dtype).max))
     merit0 = merits[-1]  # alpha = 0 candidate = current iterate
     best = jnp.argmin(merits)
     accepted = alphas[best] > 0.0
     new_primal = jax.tree_util.tree_map(lambda a: a[best], cands)
-    # Regularization policy: shrink on acceptance; on rejection grow ONLY if
-    # the QP predicted a meaningful decrease (model mismatch). A rejected step
-    # with negligible predicted decrease means this AL phase is solved to
-    # machine precision — hold reg so the next phase starts healthy.
-    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
-    stationary = step.dV <= jnp.sqrt(eps) * (1.0 + jnp.abs(merit0))
+    # Regularization policy: shrink on acceptance, grow on rejection. reg is
+    # reset to reg0 at every AL phase start (see solve_single) — dual updates
+    # reshape the merit landscape, so carrying a blown-up reg across phases
+    # starves the next phase of step length (the failure mode this replaces).
     new_reg = jnp.where(
         accepted,
         jnp.maximum(reg * settings.reg_shrink, settings.reg_min),
-        jnp.where(
-            stationary,
-            reg,
-            jnp.minimum(
-                jnp.maximum(reg, settings.reg0) * settings.reg_grow, settings.reg_max
-            ),
+        jnp.minimum(
+            jnp.maximum(reg, settings.reg0) * settings.reg_grow, settings.reg_max
         ),
     )
+    _ = merit0
     return new_primal, new_reg
 
 
@@ -627,7 +641,7 @@ def solve_single(
     reg0 = jnp.asarray(settings.reg0, dtype)
 
     def al_body(carry, _):
-        primal, duals, reg, viol_prev = carry
+        primal, duals, viol_prev = carry
 
         def sqp_body(c2, _):
             p, r = c2
@@ -636,17 +650,18 @@ def solve_single(
             )
             return (p2, r2), None
 
-        (primal, reg), _ = jax.lax.scan(
-            sqp_body, (primal, reg), None, length=settings.n_sqp
+        # reg restarts at reg0 each phase: the dual update reshapes the merit
+        (primal, _), _ = jax.lax.scan(
+            sqp_body, (primal, reg0), None, length=settings.n_sqp
         )
         duals, viol = _update_duals(
             spec, funcs, primal, scenario, duals, settings, viol_prev
         )
-        return (primal, duals, reg, viol), None
+        return (primal, duals, viol), None
 
-    (primal, duals, _, _), _ = jax.lax.scan(
+    (primal, duals, _), _ = jax.lax.scan(
         al_body,
-        (init, duals, reg0, jnp.asarray(jnp.inf, dtype)),
+        (init, duals, jnp.asarray(jnp.inf, dtype)),
         None,
         length=settings.n_al,
     )

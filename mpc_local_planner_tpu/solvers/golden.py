@@ -43,13 +43,10 @@ def solve_golden(
     x0 = scenario.x0
 
     if init is None:
+        # initial_primal seeds nonzero forward velocity — at u = 0 the dt
+        # column of the collocation Jacobian vanishes (f ∝ v) and SLSQP's
+        # LSQ subproblem is singular on min-time problems.
         init = initial_primal(spec, scenario)
-        # nudge controls off zero: at u = 0 the dt column of the collocation
-        # Jacobian vanishes for kinematic models (f ∝ v), which makes SLSQP's
-        # LSQ subproblem singular on min-time problems.
-        import dataclasses as _dc
-
-        init = _dc.replace(init, us=init.us + 0.05)
     init = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a, dtype=jnp.float64), init
     )

@@ -95,16 +95,19 @@ def primal_from_plan(spec, plan_xy_theta, x0, dt=None) -> Primal:
     xs = se2_interpolate(pa, pb, frac[..., None])
     xs = xs.at[..., 0, :].set(x0)
     batch = xs.shape[:-2]
-    us = jnp.zeros(batch + (spec.N, spec.nu), dtype=xs.dtype)
     dtv = jnp.full(batch, spec.dt_ref if dt is None else dt, dtype=xs.dtype)
+    us = _seed_controls(spec, xs, dtv)
     return Primal(xs=xs, us=us, dt=dtv)
 
 
-def warm_start_shift(primal: Primal, x0, steps: int = 1) -> Primal:
+def warm_start_shift(primal: Primal, x0, steps: int = 1, spec=None) -> Primal:
     """Shift the previous solution by ``steps`` stages and re-anchor x_0.
 
     Parity: FullDiscretizationGridBaseSE2 warm start — shift trajectory by the
-    elapsed interval, append the tail by repeating the final state/control.
+    elapsed interval, append the tail. With ``spec`` given, the appended tail
+    states are extrapolated with the dynamics (x ⊞ dt·f(x, u_last)); a
+    repeated final state leaves an O(dt·f) defect spike at the tail that a
+    small warm-start iteration budget then has to burn down.
     Fixed-shape: a roll + masked overwrite of the tail.
     """
     N = primal.n_stages
@@ -114,5 +117,45 @@ def warm_start_shift(primal: Primal, x0, steps: int = 1) -> Primal:
     ku = jnp.arange(N)
     src_u = jnp.minimum(ku + steps, N - 1)
     us = jnp.take(primal.us, src_u, axis=-2)
+    if spec is not None and steps > 0:
+        u_last = primal.us[..., -1, :]
+        x_tail = primal.xs[..., -1, :]
+        dtb = primal.dt[..., None]
+        for s in range(steps):
+            from mpc_local_planner_tpu.core.so2 import se2_boxplus
+
+            x_tail = se2_boxplus(x_tail, dtb * spec.model.f(x_tail, u_last))
+            xs = xs.at[..., N - steps + 1 + s, :].set(x_tail)
     xs = xs.at[..., 0, :].set(x0)
     return Primal(xs=xs, us=us, dt=primal.dt)
+
+
+def warm_start_resample(primal: Primal, x0, steps: int = 1, spec=None) -> Primal:
+    """Warm start for shrinking-horizon (min-time, xf-fixed) problems.
+
+    Parity: FiniteDifferencesVariableGridSE2 grid adaptation — after the
+    robot advances ``steps`` stages, the *remaining* trajectory still ends at
+    the fixed terminal state; re-stretch it over the full N-stage grid with
+    dt' = dt·(N−steps)/N. Unlike a pure shift (which leaves the trajectory a
+    stage short of the terminal equality every cycle), this warm start is
+    terminal-feasible by construction. SE(2)-aware interpolation; fixed
+    shapes (the reference resizes the grid; we rescale dt instead).
+    """
+    N = primal.n_stages
+    dtype = primal.xs.dtype
+    pos = steps + jnp.arange(N + 1, dtype=dtype) * (N - steps) / N  # [steps, N]
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, N - 1)
+    frac = (pos - i0.astype(dtype))[:, None]  # (N+1, 1), broadcasts over batch
+    xa = jnp.take(primal.xs, i0, axis=-2)
+    xb = jnp.take(primal.xs, i0 + 1, axis=-2)
+    from mpc_local_planner_tpu.core.so2 import normalize_angle, se2_boxminus
+
+    xs = xa + frac * se2_boxminus(xb, xa)
+    xs = xs.at[..., 2].set(normalize_angle(xs[..., 2]))
+    xs = xs.at[..., 0, :].set(x0)
+    pos_u = steps + jnp.arange(N, dtype=dtype) * (N - steps) / N
+    iu = jnp.clip(jnp.round(pos_u).astype(jnp.int32), 0, N - 1)
+    us = jnp.take(primal.us, iu, axis=-2)
+    dt_min = 1e-3 if spec is None else max(spec.dt_min, 1e-3)
+    dt = jnp.maximum(primal.dt * (N - steps) / N, dt_min)
+    return Primal(xs=xs, us=us, dt=dt)

@@ -1,0 +1,357 @@
+"""Configuration system mirroring the reference's YAML parameter namespaces.
+
+Parity: SURVEY.md Appendix A — the `controller | robot | grid | planning |
+collision | solver | footprint_model` namespaces read by
+``MpcLocalPlannerROS::initialize`` and ``Controller::configure`` from the ROS
+parameter server. Reference example YAMLs (mpc_local_planner_examples/cfg)
+load 1:1 through ``load_config``.
+
+TPU-first: one frozen dataclass tree; ``build()`` lowers it to the compiled
+artifacts (OcpSpec + SolverSettings + footprint/model objects).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+from mpc_local_planner_tpu.geometry.footprints import make_footprint
+from mpc_local_planner_tpu.ocp.spec import OcpSpec
+from mpc_local_planner_tpu.solvers.al_sqp import SolverSettings
+from mpc_local_planner_tpu.systems.models import RobotLimits, make_robot_dynamics
+
+
+@dataclasses.dataclass(frozen=True)
+class ControllerNs:
+    """`controller` namespace (MpcLocalPlannerROS + Controller params)."""
+
+    xy_goal_tolerance: float = 0.2
+    yaw_goal_tolerance: float = 0.1
+    global_plan_overwrite_orientation: bool = True
+    global_plan_prune_distance: float = 1.0
+    max_global_plan_lookahead_dist: float = 1.5
+    global_plan_viapoint_sep: float = -1.0  # < 0 disables via points
+    force_reinit_new_goal_dist: float = 1.0
+    force_reinit_new_goal_angular: float = 1.5707963
+    force_reinit_num_steps: int = 0
+    prefer_x_feedback: bool = False
+    publish_ocp_results: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class RobotNs:
+    """`robot` namespace: type + per-type kinematic/actuation limits."""
+
+    type: str = "unicycle"
+    max_vel_x: float = 0.4
+    max_vel_x_backwards: float = 0.2
+    max_vel_theta: float = 0.3
+    acc_lim_x: float = 0.0
+    dec_lim_x: float = 0.0
+    acc_lim_theta: float = 0.0
+    wheelbase: float = 1.0
+    max_steering_angle: float = 1.5
+    max_steering_rate: float = 0.0
+    front_wheel_driving: bool = False
+
+    def limits(self) -> RobotLimits:
+        return RobotLimits(
+            max_vel_x=self.max_vel_x,
+            max_vel_x_backwards=self.max_vel_x_backwards,
+            max_vel_theta=self.max_vel_theta,
+            acc_lim_x=self.acc_lim_x,
+            dec_lim_x=self.dec_lim_x,
+            acc_lim_theta=self.acc_lim_theta,
+            max_steering_angle=self.max_steering_angle,
+            max_steering_rate=self.max_steering_rate,
+        )
+
+    def model(self):
+        if self.type in ("simple_car", "simple_car_front_wheel_driving"):
+            t = (
+                "simple_car_front_wheel_driving"
+                if (self.front_wheel_driving or self.type.endswith("front_wheel_driving"))
+                else "simple_car"
+            )
+            return make_robot_dynamics(t, wheelbase=self.wheelbase)
+        if self.type == "kinematic_bicycle_vel_input":
+            return make_robot_dynamics(
+                self.type, lf=self.wheelbase / 2.0, lr=self.wheelbase / 2.0
+            )
+        return make_robot_dynamics(self.type)
+
+
+@dataclasses.dataclass(frozen=True)
+class GridNs:
+    """`grid` namespace (transcription grid)."""
+
+    type: str = "fd_grid"
+    grid_size_ref: int = 20
+    dt_ref: float = 0.3
+    xf_fixed: Tuple[bool, bool, bool] = (False, False, False)
+    warm_start: bool = True
+    collocation_method: str = "forward_differences"
+    cost_integration_method: str = "left_sum"
+    variable_grid_enable: bool = False
+    variable_grid_min_dt: float = 0.0
+    variable_grid_max_dt: float = 10.0
+    grid_adaptation_enable: bool = False
+    grid_adaptation_max_grid_size: int = 50
+    grid_adaptation_min_grid_size: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanningNs:
+    """`planning` namespace (objective + terminal conditions)."""
+
+    objective_type: str = "quadratic_form"
+    state_weights: Tuple[float, ...] = (2.0, 2.0, 2.0)
+    control_weights: Tuple[float, ...] = (1.0, 1.0)
+    integral_form: bool = False
+    hybrid_cost_minimum_time: float = 0.0
+    via_points_position_weight: float = 1.0
+    via_points_orientation_weight: float = 0.0
+    terminal_cost_type: str = "none"          # none | quadratic
+    final_state_weights: Tuple[float, ...] = (10.0, 10.0, 10.0)
+    terminal_constraint_type: str = "none"    # none | ball
+    ball_weight_matrix: Tuple[float, ...] = (1.0, 1.0, 1.0)
+    ball_radius: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CollisionNs:
+    """`collision` namespace."""
+
+    min_obstacle_dist: float = 0.5
+    include_costmap_obstacles: bool = True
+    costmap_obstacles_behind_robot_dist: float = 1.5
+    collision_check_no_poses: int = -1
+    cutoff_dist: float = 2.5
+    force_inclusion_dist: float = 1.5
+    enable_dynamic_obstacles: bool = False
+    obstacle_capacity: int = 50  # padded slot budget (shapes are static)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverNs:
+    """`solver` namespace → AL-SQP budget (replaces ipopt.* options)."""
+
+    type: str = "al_sqp"
+    iterations: int = 0        # 0 → problem-family preset
+    inner_iterations: int = 0
+    rho0: float = 0.0
+    rho_growth: float = 0.0
+
+    def settings(self, spec: OcpSpec) -> SolverSettings:
+        over: Dict[str, Any] = {}
+        if self.iterations > 0:
+            over["n_al"] = self.iterations
+        if self.inner_iterations > 0:
+            over["n_sqp"] = self.inner_iterations
+        if self.rho0 > 0:
+            over["rho0"] = self.rho0
+        if self.rho_growth > 0:
+            over["rho_growth"] = self.rho_growth
+        return SolverSettings.for_spec(spec, **over)
+
+
+@dataclasses.dataclass(frozen=True)
+class FootprintNs:
+    """`footprint_model` namespace."""
+
+    type: str = "point"
+    radius: float = 0.3
+    line_start: Tuple[float, float] = (-0.3, 0.0)
+    line_end: Tuple[float, float] = (0.3, 0.0)
+    front_offset: float = 0.2
+    front_radius: float = 0.2
+    rear_offset: float = -0.2
+    rear_radius: float = 0.2
+    vertices: Tuple[Tuple[float, float], ...] = ()
+
+    def footprint(self):
+        import jax.numpy as jnp
+
+        t = self.type
+        if t == "point":
+            return make_footprint("point")
+        if t == "circular":
+            return make_footprint("circular", radius=self.radius)
+        if t == "line":
+            return make_footprint(
+                "line",
+                line_start=jnp.asarray(self.line_start),
+                line_end=jnp.asarray(self.line_end),
+            )
+        if t == "two_circles":
+            return make_footprint(
+                "two_circles",
+                front_offset=self.front_offset, front_radius=self.front_radius,
+                rear_offset=self.rear_offset, rear_radius=self.rear_radius,
+            )
+        if t == "polygon":
+            return make_footprint("polygon", vertices=jnp.asarray(self.vertices))
+        raise ValueError(f"unknown footprint type {t!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class PlannerConfig:
+    controller: ControllerNs = dataclasses.field(default_factory=ControllerNs)
+    robot: RobotNs = dataclasses.field(default_factory=RobotNs)
+    grid: GridNs = dataclasses.field(default_factory=GridNs)
+    planning: PlanningNs = dataclasses.field(default_factory=PlanningNs)
+    collision: CollisionNs = dataclasses.field(default_factory=CollisionNs)
+    solver: SolverNs = dataclasses.field(default_factory=SolverNs)
+    footprint_model: FootprintNs = dataclasses.field(default_factory=FootprintNs)
+    via_capacity: int = 0  # padded via-point slots
+
+    def to_ocp_spec(self) -> OcpSpec:
+        """Lower the namespaces to the static OCP spec (parity:
+        Controller::configureGrid + configureOcp)."""
+        p, g, c = self.planning, self.grid, self.collision
+        qf = tuple(p.final_state_weights) if p.terminal_cost_type == "quadratic" else None
+        ball_r = p.ball_radius if p.terminal_constraint_type == "ball" else 0.0
+        return OcpSpec(
+            model=self.robot.model(),
+            footprint=self.footprint_model.footprint(),
+            N=g.grid_size_ref,
+            collocation=g.collocation_method,
+            objective=p.objective_type,
+            q_diag=tuple(p.state_weights),
+            r_diag=tuple(p.control_weights),
+            integral_form=p.integral_form,
+            hybrid_time_weight=p.hybrid_cost_minimum_time,
+            qf_diag=qf,
+            ball_weights=tuple(p.ball_weight_matrix),
+            ball_radius=ball_r,
+            xf_fixed=tuple(g.xf_fixed),
+            dt_ref=g.dt_ref,
+            dt_min=g.variable_grid_min_dt,
+            dt_max=g.variable_grid_max_dt,
+            variable_dt=g.variable_grid_enable,
+            limits=self.robot.limits(),
+            min_obstacle_dist=c.min_obstacle_dist,
+            obstacle_cap=c.obstacle_capacity,
+            via_cap=self.via_capacity,
+            via_position_weight=p.via_points_position_weight,
+            via_orientation_weight=p.via_points_orientation_weight,
+            enable_dynamic_obstacles=c.enable_dynamic_obstacles,
+        )
+
+    def solver_settings(self, spec: Optional[OcpSpec] = None) -> SolverSettings:
+        return self.solver.settings(spec if spec is not None else self.to_ocp_spec())
+
+
+def _build_ns(cls, d: Dict[str, Any]):
+    fields = {f.name for f in dataclasses.fields(cls)}
+    clean = {}
+    for k, v in d.items():
+        if k not in fields:
+            raise KeyError(f"unknown {cls.__name__} parameter {k!r}")
+        if isinstance(v, list):
+            v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+        clean[k] = v
+    return cls(**clean)
+
+
+def _flatten_reference_style(ns: str, d: Dict[str, Any]) -> Dict[str, Any]:
+    """Map reference YAML nesting onto the flat namespace dataclasses.
+
+    Handles the reference's nested sub-namespaces, e.g.
+      grid.variable_grid.{enable,min_dt,max_dt,grid_adaptation.*}
+      planning.objective.{type,quadratic_form.*,minimum_time_via_points.*}
+      planning.terminal_cost / terminal_constraint sub-trees
+      robot.<type>.* per-type parameter blocks
+    """
+    out: Dict[str, Any] = {}
+    if ns == "grid":
+        for k, v in d.items():
+            if k == "variable_grid" and isinstance(v, dict):
+                for k2, v2 in v.items():
+                    if k2 == "grid_adaptation" and isinstance(v2, dict):
+                        for k3, v3 in v2.items():
+                            out[f"grid_adaptation_{k3}"] = v3
+                    else:
+                        out[f"variable_grid_{k2}"] = v2
+            else:
+                out[k] = v
+        return out
+    if ns == "planning":
+        for k, v in d.items():
+            if k == "objective" and isinstance(v, dict):
+                out["objective_type"] = v.get("type", "quadratic_form")
+                qf = v.get("quadratic_form", {})
+                for k2 in ("state_weights", "control_weights", "integral_form"):
+                    if k2 in qf:
+                        out[k2] = qf[k2]
+                if "hybrid_cost_minimum_time" in qf:
+                    out["hybrid_cost_minimum_time"] = qf["hybrid_cost_minimum_time"]
+                vp = v.get("minimum_time_via_points", {})
+                if "position_weight" in vp:
+                    out["via_points_position_weight"] = vp["position_weight"]
+                if "orientation_weight" in vp:
+                    out["via_points_orientation_weight"] = vp["orientation_weight"]
+            elif k == "terminal_cost" and isinstance(v, dict):
+                out["terminal_cost_type"] = v.get("type", "none")
+                q = v.get("quadratic", {})
+                if "final_state_weights" in q:
+                    out["final_state_weights"] = q["final_state_weights"]
+            elif k == "terminal_constraint" and isinstance(v, dict):
+                out["terminal_constraint_type"] = v.get("type", "none")
+                b = v.get("ball", {})
+                if "weight_matrix" in b:
+                    out["ball_weight_matrix"] = b["weight_matrix"]
+                if "radius" in b:
+                    out["ball_radius"] = b["radius"]
+            else:
+                out[k] = v
+        return out
+    if ns == "robot":
+        rtype = d.get("type", "unicycle")
+        out["type"] = rtype
+        for k, v in d.items():
+            if isinstance(v, dict):  # per-type block, e.g. robot.unicycle.*
+                if k == rtype or k in (
+                    "unicycle", "simple_car", "kinematic_bicycle_vel_input"
+                ):
+                    if k == rtype:
+                        out.update(v)
+            elif k != "type":
+                out[k] = v
+        return out
+    return dict(d)
+
+
+def load_config(source) -> PlannerConfig:
+    """Build a PlannerConfig from a dict, YAML string, or YAML file path."""
+    if isinstance(source, str):
+        import os
+
+        import yaml
+
+        if os.path.exists(source):
+            with open(source) as f:
+                data = yaml.safe_load(f)
+        else:
+            data = yaml.safe_load(source)
+    else:
+        data = dict(source)
+    data = dict(data or {})
+
+    ns_map = {
+        "controller": ControllerNs,
+        "robot": RobotNs,
+        "grid": GridNs,
+        "planning": PlanningNs,
+        "collision": CollisionNs,
+        "solver": SolverNs,
+        "footprint_model": FootprintNs,
+    }
+    kwargs: Dict[str, Any] = {}
+    for ns, cls in ns_map.items():
+        if ns in data:
+            kwargs[ns] = _build_ns(cls, _flatten_reference_style(ns, data[ns]))
+    for extra in ("via_capacity",):
+        if extra in data:
+            kwargs[extra] = data[extra]
+    return PlannerConfig(**kwargs)

@@ -1,0 +1,183 @@
+"""MPC controller: configure / step / warm-start orchestration.
+
+Parity (file :: symbol): src/controller.cpp :: Controller
+(corbo::PredictiveController subclass) — configure(), step(),
+configureRobotDynamics/Grid/Solver/Ocp, generateInitialStateTrajectory,
+force-reinit-on-new-goal policy, state feedback merge — and
+cbr:controllers/predictive_controller.h :: PredictiveController::step.
+
+TPU-first: the compiled artifact is one jitted batched solve per
+(spec, batch shape); the Controller keeps device-resident warm-start state
+(primal + duals per scenario) and re-anchors/shifts it each cycle. Solver
+failures invalidate the warm start (SURVEY.md §6 failure detection).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mpc_local_planner_tpu.core.so2 import angle_diff
+from mpc_local_planner_tpu.core.time_series import TimeSeries, TimeSeriesSE2
+from mpc_local_planner_tpu.ocp.grid import (
+    Primal,
+    initial_primal,
+    primal_from_plan,
+    warm_start_resample,
+    warm_start_shift,
+)
+from mpc_local_planner_tpu.ocp.spec import Scenario
+from mpc_local_planner_tpu.planner.config import PlannerConfig
+from mpc_local_planner_tpu.solvers.al_sqp import (
+    SolveResult,
+    init_duals,
+    shift_duals,
+    solve_single,
+)
+
+
+@dataclasses.dataclass
+class ControlResult:
+    """Per-cycle output (parity: OptimalControlResult msg + cmd_vel twist).
+
+    twist: (..., 3) = (vx, vy, omega) from getTwistFromControl(u0).
+    """
+
+    u0: jax.Array
+    twist: jax.Array
+    x_seq: TimeSeriesSE2
+    u_seq: TimeSeries
+    solve: SolveResult
+
+
+class Controller:
+    """Host-side orchestration around the compiled batched solve."""
+
+    def __init__(self, config: PlannerConfig, batch: Optional[int] = None, dtype=jnp.float32):
+        self.config = config
+        self.spec = config.to_ocp_spec()
+        self.settings = config.solver_settings(self.spec)
+        self.batch = batch          # None = unbatched single-robot mode
+        self.dtype = dtype
+        self._primal: Optional[Primal] = None
+        self._duals = None
+        self._last_goal: Optional[jax.Array] = None
+        self._last_ok = None
+        self._last_diverged = None
+
+        def _solve(scenario, init, duals):
+            return solve_single(self.spec, self.settings, scenario, init, duals)
+
+        self._solve = jax.jit(jax.vmap(_solve) if batch is not None else _solve)
+
+    # -- warm-start policy ------------------------------------------------ #
+    def reset(self):
+        """Drop warm-start state (parity: Controller::reset on failure)."""
+        self._primal = None
+        self._duals = None
+        self._last_goal = None
+        self._last_ok = None
+        self._last_diverged = None
+
+    def _fresh_duals(self):
+        d = init_duals(self.spec, self.settings, dtype=self.dtype)
+        if self.batch is not None:
+            d = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a, (self.batch,) + a.shape), d
+            )
+        return d
+
+    def _needs_reinit(self, goal) -> bool:
+        """Parity: force_reinit_new_goal_dist / force_reinit_new_goal_angular."""
+        if self._primal is None or self._last_goal is None:
+            return True
+        c = self.config.controller
+        dp = jnp.linalg.norm(goal[..., :2] - self._last_goal[..., :2], axis=-1)
+        da = jnp.abs(angle_diff(goal[..., 2], self._last_goal[..., 2]))
+        return bool(
+            jnp.any(dp > c.force_reinit_new_goal_dist)
+            | jnp.any(da > c.force_reinit_new_goal_angular)
+        )
+
+    # -- the control cycle ------------------------------------------------ #
+    def step(
+        self,
+        scenario: Scenario,
+        plan: Optional[jax.Array] = None,
+        shift_steps: int = 1,
+    ) -> ControlResult:
+        """One MPC cycle: warm start → solve → extract first control.
+
+        scenario: current x0/goal/obstacles/via points (batched iff
+        ``batch`` was given). plan: optional (..., P, 3) transformed global
+        plan used to seed the grid on (re)initialization (parity:
+        generateInitialStateTrajectory).
+        """
+        goal = scenario.xf
+        if self._needs_reinit(goal):
+            if plan is not None and self.config.grid.warm_start:
+                init = primal_from_plan(self.spec, plan, scenario.x0)
+            else:
+                init = initial_primal(self.spec, scenario)
+            duals = self._fresh_duals()
+        else:
+            # warm-start policy (validated in benchmarks): converged
+            # scenarios advance (resample for shrinking-horizon min-time,
+            # shift otherwise) with stage-shifted duals; unconverged-but-sane
+            # ones CONTINUE from their current iterate (iterations accumulate
+            # across cycles); diverged ones reset fresh.
+            ok = self._last_ok
+            diverged = self._last_diverged
+            if self.spec.min_time and self.spec.variable_dt:
+                advanced = warm_start_resample(
+                    self._primal, scenario.x0, steps=shift_steps, spec=self.spec
+                )
+            else:
+                advanced = warm_start_shift(
+                    self._primal, scenario.x0, steps=shift_steps, spec=self.spec
+                )
+            adv_duals = shift_duals(self._duals, self.settings, steps=shift_steps)
+            sel = lambda m, a, b: jax.tree_util.tree_map(  # noqa: E731
+                lambda x, y: jnp.where(
+                    m.reshape(m.shape + (1,) * (x.ndim - m.ndim)), x, y
+                ),
+                a,
+                b,
+            )
+            init = sel(ok, advanced, self._primal)
+            duals = sel(ok, adv_duals, self._duals)
+            fresh_p = initial_primal(self.spec, scenario)
+            init = sel(diverged, fresh_p, init)
+            duals = sel(diverged, self._fresh_duals(), duals)
+
+        result = self._solve(scenario, init, duals)
+
+        self._primal, self._duals = result.primal, result.duals
+        self._last_ok = result.converged
+        self._last_diverged = jnp.logical_or(
+            result.eq_norm > 0.5, result.ineq_viol > 0.5
+        )
+        self._last_goal = goal
+
+        u0 = result.primal.us[..., 0, :]
+        # saturate the commanded control to the box (post-solve safety clamp;
+        # AL leaves O(tol) violations)
+        lo, hi = self.spec.control_box()
+        u0 = jnp.clip(u0, jnp.asarray(lo, u0.dtype), jnp.asarray(hi, u0.dtype))
+        twist = self.spec.model.twist_from_control(result.primal.xs[..., 0, :], u0)
+
+        times = jnp.arange(self.spec.N + 1, dtype=u0.dtype) * result.primal.dt[..., None]
+        x_seq = TimeSeriesSE2(times=times, values=result.primal.xs)
+        u_seq = TimeSeries(times=times[..., :-1], values=result.primal.us)
+        return ControlResult(u0=u0, twist=twist, x_seq=x_seq, u_seq=u_seq, solve=result)
+
+    # -- goal test -------------------------------------------------------- #
+    def is_goal_reached(self, x, goal) -> bool:
+        """Parity: MpcLocalPlannerROS::isGoalReached (xy + yaw tolerances)."""
+        c = self.config.controller
+        dp = jnp.linalg.norm(goal[..., :2] - x[..., :2], axis=-1)
+        da = jnp.abs(angle_diff(goal[..., 2], x[..., 2]))
+        return bool(jnp.all(dp < c.xy_goal_tolerance) and jnp.all(da < c.yaw_goal_tolerance))

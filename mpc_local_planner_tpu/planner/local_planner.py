@@ -1,0 +1,335 @@
+"""Navigation-shell logic (L7) without ROS: plan handling, costmap obstacles,
+feasibility checks.
+
+Parity (file :: symbol): src/mpc_local_planner_ros.cpp ::
+MpcLocalPlannerROS::{pruneGlobalPlan, transformGlobalPlan,
+estimateLocalGoalOrientation, updateObstacleContainerWithCostmap,
+updateViaPointsContainer, isPoseTrajectoryFeasible} and
+base_local_planner::CostmapModel::footprintCost.
+
+Host-side per-cycle work on numpy (not per solver iteration). The costmap is
+a plain occupancy grid (data HxW uint8, origin, resolution) — the ROS
+costmap_2d equivalent. A C++ implementation of the hot scans lives in
+native/ (same algorithms; used when built), this module is the reference
+implementation and fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+LETHAL_OBSTACLE = 254  # parity: costmap_2d::LETHAL_OBSTACLE
+
+
+@dataclasses.dataclass
+class Costmap:
+    """Occupancy grid (parity: costmap_2d::Costmap2D)."""
+
+    data: np.ndarray      # (H, W) uint8 cost values
+    origin: Tuple[float, float]
+    resolution: float
+
+    def world_to_map(self, x, y):
+        mx = int((x - self.origin[0]) / self.resolution)
+        my = int((y - self.origin[1]) / self.resolution)
+        return mx, my
+
+    def cell_cost(self, x: float, y: float) -> int:
+        mx, my = self.world_to_map(x, y)
+        if 0 <= my < self.data.shape[0] and 0 <= mx < self.data.shape[1]:
+            return int(self.data[my, mx])
+        return LETHAL_OBSTACLE  # off-map = lethal (conservative)
+
+
+def prune_global_plan(plan: np.ndarray, robot_xy, dist_behind: float = 1.0) -> np.ndarray:
+    """Drop plan poses more than dist_behind behind the robot.
+
+    Parity: MpcLocalPlannerROS::pruneGlobalPlan (erase up to the pose within
+    dist of the robot). plan: (P, 3).
+    """
+    if plan.shape[0] == 0:
+        return plan
+    d = np.linalg.norm(plan[:, :2] - np.asarray(robot_xy)[None, :], axis=1)
+    idx = int(np.argmin(d))
+    # keep everything from the closest pose onward, minus the behind margin
+    keep_from = idx
+    while keep_from > 0 and d[keep_from - 1] < dist_behind:
+        keep_from -= 1
+    return plan[keep_from:]
+
+
+def transform_global_plan(
+    plan: np.ndarray, robot_pose, max_lookahead: float
+) -> np.ndarray:
+    """Truncate the (already frame-aligned) plan at the lookahead horizon.
+
+    Parity: MpcLocalPlannerROS::transformGlobalPlan — the ROS version also
+    re-frames via tf2; here plans are already in the planning frame, so this
+    is the lookahead truncation + nearest-pose rebase.
+    """
+    if plan.shape[0] == 0:
+        return plan
+    d = np.linalg.norm(plan[:, :2] - np.asarray(robot_pose)[None, :2], axis=1)
+    start = int(np.argmin(d))
+    acc = 0.0
+    end = start
+    for i in range(start + 1, plan.shape[0]):
+        acc += float(np.linalg.norm(plan[i, :2] - plan[i - 1, :2]))
+        end = i
+        if acc > max_lookahead:
+            break
+    return plan[start : end + 1]
+
+
+def estimate_local_goal_orientation(
+    plan: np.ndarray, look_ahead_poses: int = 3
+) -> float:
+    """Average heading over the last few plan segments.
+
+    Parity: MpcLocalPlannerROS::estimateLocalGoalOrientation (used with
+    global_plan_overwrite_orientation — raw grid-planner goal orientations
+    are unreliable).
+    """
+    n = plan.shape[0]
+    if n < 2:
+        return float(plan[-1, 2]) if n else 0.0
+    k = min(look_ahead_poses, n - 1)
+    sin_s = cos_s = 0.0
+    for i in range(n - k, n):
+        dxy = plan[i, :2] - plan[i - 1, :2]
+        th = np.arctan2(dxy[1], dxy[0])
+        sin_s += np.sin(th)
+        cos_s += np.cos(th)
+    return float(np.arctan2(sin_s, cos_s))
+
+
+def extract_via_points(plan: np.ndarray, separation: float) -> np.ndarray:
+    """Sample via points every `separation` meters of arc length.
+
+    Parity: MpcLocalPlannerROS::updateViaPointsContainer
+    (global_plan_viapoint_sep). Returns (Mv, 3); empty if separation <= 0.
+    """
+    if separation <= 0 or plan.shape[0] < 2:
+        return np.zeros((0, 3))
+    pts = [plan[0]]
+    acc = 0.0
+    for i in range(1, plan.shape[0]):
+        acc += float(np.linalg.norm(plan[i, :2] - plan[i - 1, :2]))
+        if acc >= separation:
+            pts.append(plan[i])
+            acc = 0.0
+    return np.asarray(pts[1:]) if len(pts) > 1 else np.zeros((0, 3))
+
+
+def costmap_to_obstacle_points(
+    costmap: Costmap,
+    robot_pose,
+    behind_dist: float = 1.5,
+    cutoff_dist: float = 2.5,
+    threshold: int = LETHAL_OBSTACLE,
+) -> np.ndarray:
+    """Extract lethal cells as point obstacles around the robot.
+
+    Parity: MpcLocalPlannerROS::updateObstacleContainerWithCostmap — scans
+    the local costmap, keeps lethal cells in front (or within behind_dist
+    behind) of the robot and within cutoff_dist. Returns (M, 2) world points.
+    """
+    ys, xs = np.nonzero(costmap.data >= threshold)
+    if xs.size == 0:
+        return np.zeros((0, 2))
+    wx = costmap.origin[0] + (xs + 0.5) * costmap.resolution
+    wy = costmap.origin[1] + (ys + 0.5) * costmap.resolution
+    p = np.asarray(robot_pose, dtype=np.float64)
+    rel = np.stack([wx - p[0], wy - p[1]], axis=1)
+    dist = np.linalg.norm(rel, axis=1)
+    heading = np.array([np.cos(p[2]), np.sin(p[2])])
+    forward = rel @ heading
+    keep = (dist <= cutoff_dist) & ((forward >= 0.0) | (dist <= behind_dist))
+    return np.stack([wx[keep], wy[keep]], axis=1)
+
+
+def footprint_cost(
+    costmap: Costmap, pose, footprint_radius: float = 0.0
+) -> float:
+    """Cost of a pose against the costmap (disc footprint).
+
+    Parity: base_local_planner::CostmapModel::footprintCost — returns < 0 on
+    collision. Simplified to an inscribed-circle test over covered cells.
+    """
+    cx, cy = float(pose[0]), float(pose[1])
+    if footprint_radius <= 0:
+        c = costmap.cell_cost(cx, cy)
+        return -1.0 if c >= LETHAL_OBSTACLE else float(c)
+    r_cells = max(1, int(np.ceil(footprint_radius / costmap.resolution)))
+    mx, my = costmap.world_to_map(cx, cy)
+    worst = 0.0
+    H, W = costmap.data.shape
+    for dy in range(-r_cells, r_cells + 1):
+        for dx in range(-r_cells, r_cells + 1):
+            if dx * dx + dy * dy > r_cells * r_cells:
+                continue
+            x, y = mx + dx, my + dy
+            c = (
+                int(costmap.data[y, x])
+                if (0 <= y < H and 0 <= x < W)
+                else LETHAL_OBSTACLE
+            )
+            if c >= LETHAL_OBSTACLE:
+                return -1.0
+            worst = max(worst, float(c))
+    return worst
+
+
+def is_pose_trajectory_feasible(
+    costmap: Costmap,
+    xs: np.ndarray,
+    footprint_radius: float = 0.0,
+    check_poses: int = -1,
+    min_resolution_angular: float = np.pi,
+) -> bool:
+    """Post-solve collision veto of the planned states against the costmap.
+
+    Parity: MpcLocalPlannerROS::isPoseTrajectoryFeasible
+    (collision_check_no_poses / collision_check_min_resolution_angular —
+    intermediate poses are interpolated when consecutive states differ too
+    much in heading).
+    """
+    n = xs.shape[0] if check_poses < 0 else min(check_poses, xs.shape[0])
+    for i in range(n):
+        if footprint_cost(costmap, xs[i], footprint_radius) < 0:
+            return False
+        if i + 1 < n:
+            dth = abs(float(np.mod(xs[i + 1, 2] - xs[i, 2] + np.pi, 2 * np.pi) - np.pi))
+            if dth > min_resolution_angular:
+                mid = 0.5 * (xs[i] + xs[i + 1])
+                if footprint_cost(costmap, mid, footprint_radius) < 0:
+                    return False
+    return True
+
+
+class LocalPlanner:
+    """End-to-end per-cycle pipeline (parity: computeVelocityCommands).
+
+    Owns a Controller plus the plan/obstacle/feasibility logic. This is the
+    `test_mpc_optim_node`-style standalone mode: feed it a global plan,
+    costmap, and odometry; get twists back.
+    """
+
+    def __init__(self, config, batch: Optional[int] = None):
+        from mpc_local_planner_tpu.planner.controller import Controller
+
+        self.config = config
+        self.controller = Controller(config, batch=batch)
+        self._global_plan: Optional[np.ndarray] = None
+
+    def set_plan(self, plan: np.ndarray) -> None:
+        """Parity: MpcLocalPlannerROS::setPlan."""
+        self._global_plan = np.asarray(plan, dtype=np.float64)
+        self.controller.reset()
+
+    def compute_velocity_commands(
+        self,
+        robot_pose,
+        robot_vel,
+        costmap: Optional[Costmap] = None,
+        extra_obstacles=None,
+    ):
+        """One control cycle. Returns (twist (3,), ControlResult | None).
+
+        Follows SURVEY.md §4.2: prune → transform → obstacles → via points →
+        Controller.step → feasibility veto.
+        """
+        import jax.numpy as jnp
+
+        from mpc_local_planner_tpu.geometry.obstacles import ObstacleSet
+        from mpc_local_planner_tpu.ocp.spec import Scenario
+
+        if self._global_plan is None or self._global_plan.shape[0] == 0:
+            raise RuntimeError("no global plan set")
+        c = self.config.controller
+        col = self.config.collision
+        pose = np.asarray(robot_pose, dtype=np.float64)
+
+        self._global_plan = prune_global_plan(
+            self._global_plan, pose[:2], c.global_plan_prune_distance
+        )
+        local = transform_global_plan(
+            self._global_plan, pose, c.max_global_plan_lookahead_dist
+        )
+        if local.shape[0] == 0:
+            raise RuntimeError("plan left the local horizon")
+        goal = local[-1].copy()
+        if c.global_plan_overwrite_orientation:
+            goal[2] = estimate_local_goal_orientation(local)
+
+        # obstacles: costmap cells + custom containers, padded to capacity
+        points = []
+        if costmap is not None and col.include_costmap_obstacles:
+            points.append(
+                costmap_to_obstacle_points(
+                    costmap, pose, col.costmap_obstacles_behind_robot_dist,
+                    col.cutoff_dist,
+                )
+            )
+        pts = (
+            np.concatenate(points, axis=0) if points else np.zeros((0, 2))
+        )
+        cap = col.obstacle_capacity
+        if pts.shape[0] > cap:
+            # keep the nearest cap points (parity: cutoff radius then nearest)
+            d = np.linalg.norm(pts - pose[None, :2], axis=1)
+            pts = pts[np.argsort(d)[:cap]]
+        obs = ObstacleSet.from_lists(
+            points=list(pts),
+            circles=list(extra_obstacles) if extra_obstacles is not None else None,
+            capacities=(cap, len(extra_obstacles) if extra_obstacles else 0, 0, 0),
+        )
+
+        via = extract_via_points(local, c.global_plan_viapoint_sep)
+        vcap = self.config.via_capacity
+        via_pad = np.zeros((vcap, 3))
+        nv = min(via.shape[0], vcap)
+        via_pad[:nv] = via[:nv]
+        via_mask = np.arange(vcap) < nv
+
+        spec = self.controller.spec
+        scen = Scenario(
+            x0=jnp.asarray(pose, dtype=jnp.float32),
+            xf=jnp.asarray(goal, dtype=jnp.float32),
+            obstacles=obs,
+            via_points=jnp.asarray(via_pad, dtype=jnp.float32),
+            via_mask=jnp.asarray(via_mask),
+            u_prev=jnp.asarray(np.asarray(robot_vel)[: spec.nu], dtype=jnp.float32),
+        )
+        result = self.controller.step(scen, plan=jnp.asarray(local, dtype=jnp.float32))
+
+        # post-solve feasibility veto against the raw costmap
+        if costmap is not None:
+            xs = np.asarray(result.x_seq.values)
+            if not is_pose_trajectory_feasible(
+                costmap, xs,
+                footprint_radius=getattr(
+                    self.controller.spec.footprint, "inscribed_radius", 0.0
+                ),
+                check_poses=col.collision_check_no_poses,
+            ):
+                self.controller.reset()
+                return np.zeros(3), None
+
+        if not bool(np.asarray(result.solve.converged).all()):
+            self.controller.reset()
+            return np.zeros(3), None
+        return np.asarray(result.twist), result
+
+    def is_goal_reached(self, robot_pose) -> bool:
+        import jax.numpy as jnp
+
+        if self._global_plan is None or self._global_plan.shape[0] == 0:
+            return False
+        goal = self._global_plan[-1]
+        return self.controller.is_goal_reached(
+            jnp.asarray(robot_pose), jnp.asarray(goal)
+        )

@@ -36,6 +36,7 @@ from mpc_local_planner_tpu.ocp import constraints as C
 from mpc_local_planner_tpu.ocp.grid import Primal, initial_primal
 from mpc_local_planner_tpu.ocp.problem import OcpFunctions, make_ocp_functions
 from mpc_local_planner_tpu.ocp.spec import OcpSpec
+from mpc_local_planner_tpu.ops.smallmat import inv3
 from mpc_local_planner_tpu.solvers.riccati import (
     build_augmented_transition,
     lqr_solve,
@@ -110,6 +111,32 @@ class SolveResult:
     eq_norm: jax.Array    # max |equality residual|
     ineq_viol: jax.Array  # max(0, max g)
     converged: jax.Array  # bool per scenario
+
+
+def shift_duals(duals: DualState, settings: SolverSettings, steps: int = 1) -> DualState:
+    """Shift stage-indexed multipliers with the warm-started grid.
+
+    Parity role: the dual-side counterpart of the reference's grid warm start.
+    Stage multipliers move with their constraints; ρ restarts at rho0 — the
+    previous cycle's terminal penalty is far too stiff for a fresh landscape
+    (measured: carrying it freezes the warm-start iterations entirely).
+    """
+
+    def roll(a):
+        n = a.shape[-2]
+        src = jnp.minimum(jnp.arange(n) + steps, n - 1)
+        return jnp.take(a, src, axis=-2)
+
+    return DualState(
+        lam_def=roll(duals.lam_def),
+        lam_term=duals.lam_term,
+        mu_obs=roll(duals.mu_obs),
+        mu_rate=roll(duals.mu_rate),
+        mu_box=roll(duals.mu_box),
+        mu_dt=duals.mu_dt,
+        mu_ball=duals.mu_ball,
+        rho=jnp.full_like(duals.rho, settings.rho0),
+    )
 
 
 def init_duals(spec: OcpSpec, settings: SolverSettings, dtype=jnp.float32) -> DualState:
@@ -437,12 +464,13 @@ def _sqp_iteration(spec, funcs, settings, stage_fns, term_fns, primal, scenario,
     dt_b = jnp.broadcast_to(dt, (N,))
     cvals = jax.vmap(defect)(xk, us, xk1, dt_b)
     A, B, E, h = jax.vmap(jax.jacfwd(defect, argnums=(0, 1, 2, 3)))(xk, us, xk1, dt_b)
-    F = -jnp.linalg.solve(E, A)
-    G = -jnp.linalg.solve(E, B)
-    mcol = -jnp.linalg.solve(E, h[..., None])[..., 0]
+    Einv = inv3(E)  # closed-form: E ≈ −I + O(dt) is always well conditioned
+    F = -Einv @ A
+    G = -Einv @ B
+    mcol = -jnp.einsum("kij,kj->ki", Einv, h)
     if not spec.variable_dt:
         mcol = jnp.zeros_like(mcol)
-    raff = -jnp.linalg.solve(E, cvals[..., None])[..., 0]
+    raff = -jnp.einsum("kij,kj->ki", Einv, cvals)
     Fz, Gz, rz = build_augmented_transition(F, G, mcol, raff, nu=nu)
 
     # ---- stage data ----------------------------------------------------- #
@@ -633,7 +661,25 @@ def solve_single(
     init: Primal,
     duals: DualState,
 ) -> SolveResult:
-    """Solve one unbatched OCP. jit/vmap over this for batches."""
+    """Solve one unbatched OCP. jit/vmap over this for batches.
+
+    Runs under full-f32 matmul precision: TPU MXU defaults to bf16 inputs,
+    whose ~8 mantissa bits cannot drive the Riccati recursion / AL penalties
+    to the 1e-4 feasibility tolerances (measured: convergence 0% at bf16,
+    CPU-parity at f32; the KKT blocks are tiny, so the extra passes are
+    free).
+    """
+    with jax.default_matmul_precision("float32"):
+        return _solve_single_impl(spec, settings, scenario, init, duals)
+
+
+def _solve_single_impl(
+    spec: OcpSpec,
+    settings: SolverSettings,
+    scenario,
+    init: Primal,
+    duals: DualState,
+) -> SolveResult:
     funcs = make_ocp_functions(spec)
     stage_fns = _make_stage_fns(spec)
     term_fns = _make_terminal_fns(spec)

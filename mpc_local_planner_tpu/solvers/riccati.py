@@ -28,6 +28,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from mpc_local_planner_tpu.ops.smallmat import solve_psd
+
 
 class LqrStep(NamedTuple):
     """Solution of one equality-constrained QP subproblem."""
@@ -65,8 +67,8 @@ def lqr_solve(
         Pr_p = P @ r + p
         qz = gz + F.T @ Pr_p
         qu = gu + G.T @ Pr_p
-        K = -jnp.linalg.solve(Quu, Qzu.T)      # (nu, na)
-        kff = -jnp.linalg.solve(Quu, qu)       # (nu,)
+        K = -solve_psd(Quu, Qzu.T)             # (nu, na)
+        kff = -solve_psd(Quu, qu)              # (nu,)
         Pn = Qzz + Qzu @ K
         Pn = 0.5 * (Pn + Pn.T)
         pn = qz + Qzu @ kff

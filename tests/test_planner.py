@@ -1,0 +1,172 @@
+"""Planner layer: config loading, controller cycles, local-planner pipeline.
+
+Parity: the reference's end-to-end validation strategy (SURVEY.md §5 —
+test_mpc_optim_node + Stage demos), automated: drive a simulated unicycle
+through the full planner stack to a goal.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_local_planner_tpu.planner.config import PlannerConfig, load_config
+from mpc_local_planner_tpu.planner.controller import Controller
+from mpc_local_planner_tpu.planner.local_planner import (
+    Costmap,
+    LocalPlanner,
+    costmap_to_obstacle_points,
+    estimate_local_goal_orientation,
+    extract_via_points,
+    is_pose_trajectory_feasible,
+    prune_global_plan,
+    transform_global_plan,
+)
+
+REFERENCE_STYLE_YAML = """
+robot:
+  type: unicycle
+  unicycle:
+    max_vel_x: 0.4
+    max_vel_x_backwards: 0.2
+    max_vel_theta: 0.3
+grid:
+  grid_size_ref: 15
+  dt_ref: 0.3
+  collocation_method: forward_differences
+  variable_grid:
+    enable: false
+    min_dt: 0.0
+    max_dt: 10.0
+planning:
+  objective:
+    type: quadratic_form
+    quadratic_form:
+      state_weights: [2.0, 2.0, 2.0]
+      control_weights: [1.0, 1.0]
+      integral_form: false
+  terminal_cost:
+    type: quadratic
+    quadratic:
+      final_state_weights: [10.0, 10.0, 10.0]
+  terminal_constraint:
+    type: none
+collision:
+  min_obstacle_dist: 0.2
+  obstacle_capacity: 4
+solver:
+  iterations: 6
+  inner_iterations: 8
+footprint_model:
+  type: circular
+  radius: 0.2
+"""
+
+
+def test_load_reference_style_yaml():
+    cfg = load_config(REFERENCE_STYLE_YAML)
+    assert cfg.robot.max_vel_x == 0.4
+    assert cfg.grid.grid_size_ref == 15
+    assert cfg.planning.terminal_cost_type == "quadratic"
+    assert cfg.planning.final_state_weights == (10.0, 10.0, 10.0)
+    assert cfg.collision.obstacle_capacity == 4
+    spec = cfg.to_ocp_spec()
+    assert spec.N == 15
+    assert spec.qf_diag == (10.0, 10.0, 10.0)
+    assert spec.obstacle_cap == 4
+    settings = cfg.solver_settings(spec)
+    assert settings.n_al == 6 and settings.n_sqp == 8
+
+
+def test_unknown_config_key_rejected():
+    import pytest
+
+    with pytest.raises(KeyError):
+        load_config({"grid": {"grid_size_reff": 10}})
+
+
+def test_controller_closed_loop_reaches_goal():
+    """Simulated unicycle driven by the Controller converges to the goal."""
+    cfg = load_config(REFERENCE_STYLE_YAML)
+    ctrl = Controller(cfg, dtype=jnp.float32)
+    spec = ctrl.spec
+    from mpc_local_planner_tpu.ocp.spec import Scenario
+
+    x = jnp.array([0.0, 0.0, 0.0], dtype=jnp.float32)
+    # goal heading aligned with the approach direction — a pure quadratic
+    # objective cannot null lateral error for a nonholonomic robot when the
+    # goal heading fights the approach (the reference stalls there too)
+    goal = jnp.array([1.2, 0.6, float(np.arctan2(0.6, 1.2))], dtype=jnp.float32)
+    sim_dt = spec.dt_ref
+    for _cycle in range(60):
+        scen = Scenario.goal_only(x, goal, nu=spec.nu, via_cap=0, dtype=jnp.float32)
+        import dataclasses as dc
+
+        from mpc_local_planner_tpu.geometry.obstacles import ObstacleSet
+
+        scen = dc.replace(
+            scen, obstacles=ObstacleSet.empty(0, 0, 0, 0, dtype=jnp.float32)
+        )
+        # pad obstacle set to the spec capacity (4 point slots)
+        scen = dc.replace(
+            scen,
+            obstacles=ObstacleSet.empty(4, 0, 0, 0, dtype=jnp.float32),
+        )
+        res = ctrl.step(scen)
+        # integrate the model one cycle with the commanded control
+        x = x + sim_dt * spec.model.f(x, res.u0)
+        if ctrl.is_goal_reached(x, goal):
+            break
+    assert ctrl.is_goal_reached(x, goal), np.asarray(x)
+
+
+def test_plan_utilities():
+    t = np.linspace(0, 1, 11)
+    plan = np.stack([2 * t, 0.5 * t, np.zeros_like(t)], axis=1)
+    pruned = prune_global_plan(plan, robot_xy=(1.0, 0.25), dist_behind=0.2)
+    assert pruned.shape[0] < plan.shape[0]
+    local = transform_global_plan(plan, (0.0, 0.0, 0.0), max_lookahead=1.0)
+    acc = np.sum(np.linalg.norm(np.diff(local[:, :2], axis=0), axis=1))
+    assert acc <= 1.3
+    th = estimate_local_goal_orientation(plan)
+    np.testing.assert_allclose(th, np.arctan2(0.5, 2.0), atol=1e-6)
+    via = extract_via_points(plan, separation=0.5)
+    assert via.shape[0] >= 2
+
+
+def test_costmap_obstacles_and_feasibility():
+    data = np.zeros((20, 20), dtype=np.uint8)
+    data[10, 12] = 254  # lethal cell at world (1.25, 1.05) with res 0.1
+    cm = Costmap(data=data, origin=(0.0, 0.0), resolution=0.1)
+    pts = costmap_to_obstacle_points(cm, robot_pose=(1.0, 1.0, 0.0), cutoff_dist=2.0)
+    assert pts.shape[0] == 1
+    np.testing.assert_allclose(pts[0], [1.25, 1.05], atol=1e-6)
+    # trajectory through the lethal cell is infeasible
+    xs_bad = np.array([[1.0, 1.0, 0.0], [1.25, 1.05, 0.0], [1.5, 1.1, 0.0]])
+    assert not is_pose_trajectory_feasible(cm, xs_bad)
+    xs_ok = np.array([[0.2, 0.2, 0.0], [0.4, 0.2, 0.0]])
+    assert is_pose_trajectory_feasible(cm, xs_ok)
+
+
+def test_local_planner_end_to_end_with_costmap():
+    cfg = load_config(REFERENCE_STYLE_YAML)
+    lp = LocalPlanner(cfg)
+    t = np.linspace(0, 1, 20)
+    plan = np.stack([2.0 * t, np.zeros_like(t), np.zeros_like(t)], axis=1)
+    lp.set_plan(plan)
+    data = np.zeros((40, 40), dtype=np.uint8)
+    data[25, 10] = 254  # off-path lethal cell
+    cm = Costmap(data=data, origin=(-1.0, -1.0), resolution=0.1)
+    x = np.array([0.0, 0.0, 0.0])
+    reached = False
+    for _ in range(80):
+        twist, res = lp.compute_velocity_commands(x, np.zeros(2), costmap=cm)
+        if res is None:
+            break
+        # unicycle integration of the commanded twist
+        x = x + cfg.grid.dt_ref * np.array(
+            [twist[0] * np.cos(x[2]), twist[0] * np.sin(x[2]), twist[2]]
+        )
+        if lp.is_goal_reached(x):
+            reached = True
+            break
+    assert reached, x

@@ -45,11 +45,39 @@ COLLOCATION_METHODS = {
     "crank_nicolson_differences": _phi_crank_nicolson,
 }
 
+# Multiple-shooting transcription (parity: cbr:optimal_control
+# structured_ocp/discretization_grids/multiple_shooting_grid.h — one shooting
+# node per stage, explicit RK integration across the interval). The defect is
+#   c_k = Φ(x_k, u_k, dt) ⊖ x_{k+1}
+# with Φ an explicit integrator step (numerics/integrators.py). Method names:
+# "shooting_<integrator>[_<substeps>]", e.g. "shooting_rk4", "shooting_rk4_4".
+SHOOTING_PREFIX = "shooting_"
+
+
+def _parse_shooting(method: str):
+    rest = method[len(SHOOTING_PREFIX) :]
+    parts = rest.rsplit("_", 1)
+    if len(parts) == 2 and parts[1].isdigit():
+        return parts[0], int(parts[1])
+    return rest, 1
+
+
+def _shooting_pred(model, method: str, xk, uk, dt):
+    from mpc_local_planner_tpu.numerics.integrators import integrate
+
+    integ, substeps = _parse_shooting(method)
+    return integrate(model.f, xk, uk, dt, method=integ, substeps=substeps)
+
 
 def stage_defect(model, method: str, xk, uk, xk1, dt):
-    """Single-stage collocation defect c_k (shape (..., 3))."""
-    phi = COLLOCATION_METHODS[method]
-    pred = xk + dt[..., None] * phi(model, xk, uk, xk1) if jnp.ndim(dt) else xk + dt * phi(model, xk, uk, xk1)
+    """Single-stage transcription defect c_k (shape (..., 3))."""
+    if method.startswith(SHOOTING_PREFIX):
+        dt_ = dt[..., None] if jnp.ndim(dt) else dt
+        pred = _shooting_pred(model, method, xk, uk, dt_)
+    else:
+        phi = COLLOCATION_METHODS[method]
+        f = phi(model, xk, uk, xk1)
+        pred = xk + (dt[..., None] * f if jnp.ndim(dt) else dt * f)
     return _wrap(pred - xk1)
 
 
@@ -59,8 +87,11 @@ def collocation_defects(model, method: str, xs, us, dt):
     xs: (..., N+1, 3); us: (..., N, nu); dt: (...,) scalar per trajectory.
     Returns (..., N, 3). The equality constraint of the OCP is defects == 0.
     """
-    phi = COLLOCATION_METHODS[method]
     xk = xs[..., :-1, :]
     xk1 = xs[..., 1:, :]
-    pred = xk + jnp.asarray(dt)[..., None, None] * phi(model, xk, us, xk1)
+    if method.startswith(SHOOTING_PREFIX):
+        pred = _shooting_pred(model, method, xk, us, jnp.asarray(dt)[..., None, None])
+    else:
+        phi = COLLOCATION_METHODS[method]
+        pred = xk + jnp.asarray(dt)[..., None, None] * phi(model, xk, us, xk1)
     return _wrap(pred - xk1)

@@ -74,7 +74,7 @@ class OcpSpec:
             "forward_differences",
             "midpoint_differences",
             "crank_nicolson_differences",
-        ):
+        ) and not self.collocation.startswith("shooting_"):
             raise ValueError(f"unknown collocation {self.collocation!r}")
         if self.objective not in (
             "quadratic_form",

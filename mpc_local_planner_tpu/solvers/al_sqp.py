@@ -69,6 +69,10 @@ class SolverSettings:
     viol_decrease_req: float = 0.25
     tol_eq: float = 1.0e-4
     tol_ineq: float = 1.0e-4
+    # horizon-parallel (associative-scan) KKT solve: O(log N) sequential depth
+    # instead of O(N) — the TPU default. The sequential sweep remains for
+    # CPU/debugging (identical solutions; see tests/test_riccati_pscan.py).
+    horizon_parallel: bool = True
 
     @staticmethod
     def for_spec(spec, **overrides) -> "SolverSettings":
@@ -534,10 +538,18 @@ def _sqp_iteration(spec, funcs, settings, stage_fns, term_fns, primal, scenario,
     PN = jax.hessian(term_hess)(wN, tdata, duals.rho, gT0, awT)
 
     # ---- structured KKT solve ------------------------------------------- #
-    step = lqr_solve(
-        Fz, Gz, rz, Hzz, Hzu, Huu, hz, hu, PN, pN, reg,
-        nx=nx, free_tau=spec.variable_dt,
-    )
+    if settings.horizon_parallel:
+        from mpc_local_planner_tpu.solvers.riccati_pscan import lqr_solve_pscan
+
+        step = lqr_solve_pscan(
+            Fz, Gz, rz, Hzz, Hzu, Huu, hz, hu, PN, pN, reg,
+            nx=nx, free_tau=spec.variable_dt,
+        )
+    else:
+        step = lqr_solve(
+            Fz, Gz, rz, Hzz, Hzu, Huu, hz, hu, PN, pN, reg,
+            nx=nx, free_tau=spec.variable_dt,
+        )
     # NaN quarantine (SURVEY.md §6): a non-finite KKT solve (blown-up value
     # matrices) becomes a zero step — the line search then rejects it and the
     # regularization ramps up, instead of poisoning the iterate (note

@@ -77,7 +77,8 @@ def lqr_solve(
         return (Pn, pn), (K, kff, dv)
 
     (P0, p0), (Ks, kffs, dvs) = jax.lax.scan(
-        backward, (PN, pN), (Fz, Gz, rz, Hzz, Hzu, Huu, hz, hu), reverse=True
+        backward, (PN, pN), (Fz, Gz, rz, Hzz, Hzu, Huu, hz, hu), reverse=True,
+        unroll=8,  # the blocks are tiny — launch overhead dominates a 1-step body
     )
 
     # initial stage: δx_0 = 0, δu_{-1} = 0; minimize over δτ when free.
@@ -96,7 +97,7 @@ def lqr_solve(
         zn = F @ z + G @ u + r
         return zn, (z, u)
 
-    zN, (zs, us) = jax.lax.scan(forward, z0, (Ks, kffs, Fz, Gz, rz))
+    zN, (zs, us) = jax.lax.scan(forward, z0, (Ks, kffs, Fz, Gz, rz), unroll=8)
     zs_all = jnp.concatenate([zs, zN[None]], axis=0)  # (N+1, na)
     return LqrStep(
         dxs=zs_all[:, :nx],

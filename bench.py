@@ -38,7 +38,8 @@ def main():
     warm = SolverSettings(
         n_al=4, n_sqp=3, rho0=50.0, reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3
     )
-    batch = 4096
+    import os
+    batch = int(os.environ.get("BENCH_BATCH", "4096"))
 
     with jax.default_device(jax.devices("cpu")[0]):
         scen = random_ensemble(spec, batch, jax.random.PRNGKey(0))

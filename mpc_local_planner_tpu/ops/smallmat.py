@@ -82,6 +82,40 @@ def solve3(A, b):
     return inv3(A) @ b
 
 
+def solve_unrolled(A, B):
+    """Batched solve A X = B for small n via unrolled pivotless Gaussian
+    elimination (pure elementwise ops — no LAPACK-style custom calls, which
+    are catastrophically slow on TPU for tiny matrices).
+
+    A: (..., n, n); B: (..., n, m). Intended for well-conditioned systems
+    with dominant diagonals (e.g. M = I + PSD·PSD products in the
+    horizon-parallel Riccati compositions); no pivoting is performed.
+    """
+    n = A.shape[-1]
+    a = [[A[..., i, j] for j in range(n)] for i in range(n)]
+    m = B.shape[-1]
+    b = [[B[..., i, j] for j in range(m)] for i in range(n)]
+    for k in range(n):
+        inv_piv = 1.0 / a[k][k]
+        for i in range(k + 1, n):
+            f = a[i][k] * inv_piv
+            for j in range(k + 1, n):
+                a[i][j] = a[i][j] - f * a[k][j]
+            for j in range(m):
+                b[i][j] = b[i][j] - f * b[k][j]
+    x = [[None] * m for _ in range(n)]
+    for i in range(n - 1, -1, -1):
+        inv_piv = 1.0 / a[i][i]
+        for j in range(m):
+            acc = b[i][j]
+            for l in range(i + 1, n):
+                acc = acc - a[i][l] * x[l][j]
+            x[i][j] = acc * inv_piv
+    return jnp.stack(
+        [jnp.stack([x[i][j] for j in range(m)], axis=-1) for i in range(n)], axis=-2
+    )
+
+
 def solve_psd(A, b):
     """Solve for small SPD A: closed form for n ≤ 3, Cholesky otherwise."""
     n = A.shape[-1]

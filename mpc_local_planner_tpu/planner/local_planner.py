@@ -266,14 +266,25 @@ class LocalPlanner:
             goal[2] = estimate_local_goal_orientation(local)
 
         # obstacles: costmap cells + custom containers, padded to capacity
+        # (native C++ scan when built — see native/costmap.cpp)
+        from mpc_local_planner_tpu import native
+
         points = []
         if costmap is not None and col.include_costmap_obstacles:
-            points.append(
-                costmap_to_obstacle_points(
-                    costmap, pose, col.costmap_obstacles_behind_robot_dist,
-                    col.cutoff_dist,
+            if native.available():
+                points.append(
+                    native.extract_points(
+                        costmap, pose, col.costmap_obstacles_behind_robot_dist,
+                        col.cutoff_dist,
+                    )
                 )
-            )
+            else:
+                points.append(
+                    costmap_to_obstacle_points(
+                        costmap, pose, col.costmap_obstacles_behind_robot_dist,
+                        col.cutoff_dist,
+                    )
+                )
         pts = (
             np.concatenate(points, axis=0) if points else np.zeros((0, 2))
         )
@@ -309,13 +320,18 @@ class LocalPlanner:
         # post-solve feasibility veto against the raw costmap
         if costmap is not None:
             xs = np.asarray(result.x_seq.values)
-            if not is_pose_trajectory_feasible(
-                costmap, xs,
-                footprint_radius=getattr(
-                    self.controller.spec.footprint, "inscribed_radius", 0.0
-                ),
-                check_poses=col.collision_check_no_poses,
-            ):
+            radius = getattr(self.controller.spec.footprint, "inscribed_radius", 0.0)
+            if native.available():
+                feasible = native.trajectory_feasible(
+                    costmap, xs, footprint_radius=radius,
+                    check_poses=col.collision_check_no_poses,
+                )
+            else:
+                feasible = is_pose_trajectory_feasible(
+                    costmap, xs, footprint_radius=radius,
+                    check_poses=col.collision_check_no_poses,
+                )
+            if not feasible:
                 self.controller.reset()
                 return np.zeros(3), None
 

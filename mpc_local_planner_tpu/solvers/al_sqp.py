@@ -69,10 +69,13 @@ class SolverSettings:
     viol_decrease_req: float = 0.25
     tol_eq: float = 1.0e-4
     tol_ineq: float = 1.0e-4
-    # horizon-parallel (associative-scan) KKT solve: O(log N) sequential depth
-    # instead of O(N) — the TPU default. The sequential sweep remains for
-    # CPU/debugging (identical solutions; see tests/test_riccati_pscan.py).
-    horizon_parallel: bool = True
+    # horizon-parallel (associative-scan) KKT solve: O(log N) sequential
+    # depth instead of O(N), at ~3× the FLOPs (composition algebra).
+    # Measured on v5e: wins in the latency-bound regime (small batch,
+    # b≈1024: 2.2k vs ~1.1k solves/s) and loses in the throughput-bound
+    # regime (b≥4096: 1.7k vs 4.7k) — default off; enable for low-latency
+    # single-robot serving. Identical solutions (tests/test_riccati_pscan.py).
+    horizon_parallel: bool = False
 
     @staticmethod
     def for_spec(spec, **overrides) -> "SolverSettings":

@@ -44,22 +44,29 @@ def _compose(e1, e2):
     (later, earlier) pairs per the scan's right-fold orientation — this
     function is wrapped accordingly below.
     """
+    from mpc_local_planner_tpu.ops.smallmat import solve_unrolled
+
     A1, b1, C1, eta1, J1 = e1
     A2, b2, C2, eta2, J2 = e2
     n = A1.shape[-1]
     I = jnp.eye(n, dtype=A1.dtype)
-    # D = (I + C1 J2)^{-1}; products against it via linear solves
+    # D = (I + C1 J2)^{-1}; all products against it via ONE batched
+    # multi-RHS unrolled solve (M ≈ I + PSD·PSD is diagonally dominant)
     M = I + C1 @ J2
-    DA1 = jnp.linalg.solve(M, A1)
-    Db1 = jnp.linalg.solve(M, (b1 + (C1 @ eta2[..., None])[..., 0])[..., None])[..., 0]
-    DC1 = jnp.linalg.solve(M, C1)
+    rhs = jnp.concatenate(
+        [A1, (b1 + (C1 @ eta2[..., None])[..., 0])[..., None], C1], axis=-1
+    )
+    sol = solve_unrolled(M, rhs)
+    DA1 = sol[..., :n]
+    Db1 = sol[..., n]
+    DC1 = sol[..., n + 1 :]
     A12 = A2 @ DA1
     b12 = (A2 @ Db1[..., None])[..., 0] + b2
     C12 = A2 @ DC1 @ jnp.swapaxes(A2, -1, -2) + C2
     # (I + J2 C1)^{-1} v = D-transpose form: solve Mᵀ y = v
     Mt = jnp.swapaxes(M, -1, -2)
     v = eta2 - (J2 @ b1[..., None])[..., 0]
-    y = jnp.linalg.solve(Mt, v[..., None])[..., 0]
+    y = solve_unrolled(Mt, v[..., None])[..., 0]
     eta12 = (jnp.swapaxes(A1, -1, -2) @ y[..., None])[..., 0] + eta1
     J12 = jnp.swapaxes(A1, -1, -2) @ J2 @ DA1 + J1
     J12 = 0.5 * (J12 + jnp.swapaxes(J12, -1, -2))

@@ -95,6 +95,20 @@ class ObstacleSet:
             polygons=self.polygons + shift_g[..., None, :],
         )
 
+    def predict_stages(self, times) -> "ObstacleSet":
+        """Per-stage predicted sets with every leaf broadcast to a leading
+        stage axis (times (T,)) — the form consumed by per-stage constraint
+        evaluation. Only valid on an unbatched set (vmap over scenarios)."""
+        pred = self.predict(times)
+        T = times.shape[0]
+        return jax.tree_util.tree_map(
+            lambda a, o: a
+            if a.ndim == o.ndim + 1
+            else jnp.broadcast_to(a, (T,) + a.shape),
+            pred,
+            self,
+        )
+
     # ------------------------------------------------------------------ #
     @staticmethod
     def empty(

@@ -34,9 +34,15 @@ def obstacle_inequalities(spec, xs, dt, scenario):
         return jnp.zeros(xs.shape[:-2] + (spec.N, 0), dtype=xs.dtype)
     poses = xs[..., 1:, :]  # (..., N, 3)
     if spec.enable_dynamic_obstacles:
-        # stage times t_k = k·dt; broadcast an extra stage axis into the set
-        t = jnp.arange(1, spec.N + 1, dtype=xs.dtype) * jnp.asarray(dt)[..., None]
-        obs_k = scenario.obstacles.predict(t[..., None])  # adds stage axis via t
+        # constant-velocity extrapolation to the stage times t_k = k·dt;
+        # dt stop-gradded — predicted positions are stage data, not
+        # decision-dependent (matches the reference's treatment).
+        import jax
+
+        t = jnp.arange(1, spec.N + 1, dtype=xs.dtype) * jax.lax.stop_gradient(
+            jnp.asarray(dt)
+        )
+        obs_k = scenario.obstacles.predict_stages(t)
         d = spec.footprint.distances(poses, obs_k)
     else:
         d = spec.footprint.distances(poses, scenario.obstacles)

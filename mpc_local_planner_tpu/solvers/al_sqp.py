@@ -398,16 +398,10 @@ def _stage_obstacles(spec, scenario, dt, n):
     stage data, not decision-dependent quantities).
     """
     obs0 = scenario.obstacles
-    if spec.enable_dynamic_obstacles:
-        t = jnp.arange(n, dtype=dt.dtype) * jax.lax.stop_gradient(dt)
-        pred = obs0.predict(t)
-    else:
-        pred = obs0
-    return jax.tree_util.tree_map(
-        lambda a, o: a if a.ndim == o.ndim + 1 else jnp.broadcast_to(a, (n,) + a.shape),
-        pred,
-        obs0,
+    t = jnp.arange(n, dtype=dt.dtype) * (
+        jax.lax.stop_gradient(dt) if spec.enable_dynamic_obstacles else 0.0
     )
+    return obs0.predict_stages(t)
 
 
 def _via_weights(spec, xs, scenario):

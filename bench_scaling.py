@@ -10,9 +10,22 @@ harness on virtual devices (same code path, no real parallel speedup).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# NOTE this environment preloads jax on the axon TPU platform via
+# sitecustomize, so JAX_PLATFORMS in the environment arrives too late;
+# switch via jax.config (same workaround as tests/conftest.py).
+if os.environ.get("BENCH_SCALING_CPU"):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 

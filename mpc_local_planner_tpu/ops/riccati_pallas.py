@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mpc_local_planner_tpu.solvers.riccati import LqrStep
 
-SUBLANES = 2  # 256 scenarios/program: stage data + gain tape + double-buffered inputs must fit 16MB VMEM
+SUBLANES = 2  # scenarios per program; input double-buffering must fit 16MB VMEM (host-side relayout dominates this kernel — see module docstring)
 LANES = 128
 BT = SUBLANES * LANES  # scenarios per kernel instance
 

@@ -36,10 +36,12 @@ def main():
     spec = config3_carlike_min_time(N=30, obstacle_cap=8)
     cold = SolverSettings.for_spec(spec)
     # budget frontier measured on v5e (batch 4096, conv = steady-state
-    # fraction at 1e-3 feasibility): 2×4 → 6.7k/s @ 0.69, 3×4 → 4.5k/s @
-    # 0.81, 2×3 → 8.9k/s @ 0.61. 2×4 is the throughput/quality sweet spot.
+    # fraction at 1e-3 feasibility): 2×3+8α → 8.8k/s @ 0.64, 2×4+8α →
+    # 6.6k/s @ 0.70, 3×4 → 4.5k/s @ 0.81. Line-search candidates are free
+    # (measured), so the 8-candidate ladder maximizes per-iteration progress.
     warm = SolverSettings(
-        n_al=2, n_sqp=4, rho0=50.0, reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3
+        n_al=2, n_sqp=3, rho0=50.0, reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3,
+        alphas=(1.0, 0.7, 0.5, 0.35, 0.22, 0.14, 0.08, 0.03),
     )
     import os
     batch = int(os.environ.get("BENCH_BATCH", "4096"))

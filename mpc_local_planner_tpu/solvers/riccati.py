@@ -54,30 +54,43 @@ def lqr_solve(
     """
     na = Fz.shape[-1]
     nu = Gz.shape[-1]
-    I_u = jnp.eye(nu, dtype=Fz.dtype)
+    dtype = Fz.dtype
+    N = Fz.shape[0]
+
+    # Fused stage data: W = [F | G] (na, na+nu), H_full = [[Hzz, Hzu],
+    # [Hzuᵀ, Huu]], h_full = [hz; hu]. The backward step then needs only
+    # TWO matmuls against P (P@W, Wᵀ@(PW)) instead of six — the scan body is
+    # op-count-bound on TPU, not FLOP-bound (blocks are tiny).
+    W = jnp.concatenate([Fz, Gz], axis=-1)                       # (N, na, na+nu)
+    Hfull = jnp.concatenate(
+        [
+            jnp.concatenate([Hzz, Hzu], axis=-1),
+            jnp.concatenate([jnp.swapaxes(Hzu, -1, -2), Huu], axis=-1),
+        ],
+        axis=-2,
+    )                                                            # (N, nw, nw)
+    Hfull = Hfull.at[:, na:, na:].add(reg * jnp.eye(nu, dtype=dtype))
+    hfull = jnp.concatenate([hz, hu], axis=-1)                   # (N, nw)
 
     def backward(carry, inp):
         P, p = carry
-        F, G, r, hzz, hzu, huu, gz, gu = inp
-        PF = P @ F
-        PG = P @ G
-        Qzz = hzz + F.T @ PF
-        Quu = huu + G.T @ PG + reg * I_u
-        Qzu = hzu + F.T @ PG
-        Pr_p = P @ r + p
-        qz = gz + F.T @ Pr_p
-        qu = gu + G.T @ Pr_p
-        K = -solve_psd(Quu, Qzu.T)             # (nu, na)
-        kff = -solve_psd(Quu, qu)              # (nu,)
-        Pn = Qzz + Qzu @ K
+        Wk, r, hf, gf = inp
+        PW = P @ Wk                                    # (na, nw)
+        Q = hf + Wk.T @ PW                             # (nw, nw) full Q matrix
+        q = gf + Wk.T @ (P @ r + p)                    # (nw,)
+        Quu = Q[na:, na:]
+        Qzu_T = Q[na:, :na]                            # (nu, na)
+        # one solve for both gain and feedforward: [K | kff]
+        Kk = -solve_psd(Quu, jnp.concatenate([Qzu_T, q[na:, None]], axis=-1))
+        K, kff = Kk[:, :na], Kk[:, na]
+        Pn = Q[:na, :na] + Q[:na, na:] @ K
         Pn = 0.5 * (Pn + Pn.T)
-        pn = qz + Qzu @ kff
-        # model decrease bookkeeping: ΔV += ½ kffᵀ Quu kff  (= −½ quᵀ kff)
-        dv = -0.5 * jnp.dot(qu, kff)
+        pn = q[:na] + Q[:na, na:] @ kff
+        dv = -0.5 * jnp.dot(q[na:], kff)
         return (Pn, pn), (K, kff, dv)
 
     (P0, p0), (Ks, kffs, dvs) = jax.lax.scan(
-        backward, (PN, pN), (Fz, Gz, rz, Hzz, Hzu, Huu, hz, hu), reverse=True,
+        backward, (PN, pN), (W, rz, Hfull, hfull), reverse=True,
         unroll=8,  # the blocks are tiny — launch overhead dominates a 1-step body
     )
 

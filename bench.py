@@ -23,6 +23,70 @@ import jax
 import jax.numpy as jnp
 
 
+def latency_mode():
+    """Single-robot warm-solve latency (BASELINE: p99 ≪ 100 ms cycle budget).
+
+    Uses the horizon-parallel KKT solve (the latency-bound regime's winner)
+    on a batch-1 warm-started min-time solve. Prints one JSON line with
+    p50/p99 latency. Run via BENCH_MODE=latency.
+    """
+    import numpy as np
+
+    from mpc_local_planner_tpu.benchmarks import config3_carlike_min_time, random_ensemble
+    from mpc_local_planner_tpu.ocp.grid import initial_primal, warm_start_resample
+    from mpc_local_planner_tpu.solvers.al_sqp import (
+        SolverSettings,
+        init_duals,
+        shift_duals,
+        solve_single,
+    )
+
+    spec = config3_carlike_min_time(N=30, obstacle_cap=8)
+    cold = SolverSettings.for_spec(spec, horizon_parallel=True)
+    warm = SolverSettings(
+        n_al=2, n_sqp=3, rho0=50.0, reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3,
+        alphas=(1.0, 0.7, 0.5, 0.35, 0.22, 0.14, 0.08, 0.03),
+        horizon_parallel=True,
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        scen = jax.tree_util.tree_map(
+            lambda a: a[0], random_ensemble(spec, 1, jax.random.PRNGKey(0))
+        )
+        init = initial_primal(spec, scen)
+        duals = init_duals(spec, cold, dtype=jnp.float32)
+    dev = jax.devices()[0]
+    scen, init, duals = jax.device_put((scen, init, duals), dev)
+    r = jax.jit(lambda s, i, d: solve_single(spec, cold, s, i, d))(scen, init, duals)
+    _ = float(r.cost)
+    warm_solve = jax.jit(lambda s, i, d: solve_single(spec, warm, s, i, d))
+
+    lat = []
+    for _k in range(40):
+        x0n = jnp.where(r.converged, r.primal.xs[1], scen.x0)
+        scen = dc.replace(scen, x0=x0n)
+        initn = warm_start_resample(r.primal, x0n, steps=1, spec=spec)
+        dn = shift_duals(r.duals, warm, steps=1)
+        t0 = time.perf_counter()
+        r = warm_solve(scen, initn, dn)
+        _ = float(r.cost)  # host fetch forces completion
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat = np.asarray(lat[5:])  # drop warmup
+    print(
+        json.dumps(
+            {
+                "metric": "warm_solve_latency_p99_n30_carlike",
+                "value": round(float(np.percentile(lat, 99)), 2),
+                "unit": "ms",
+                "vs_baseline": round(100.0 / float(np.percentile(lat, 99)), 2),
+                "extra": {
+                    "p50_ms": round(float(np.percentile(lat, 50)), 2),
+                    "budget_ms": 100.0,
+                },
+            }
+        )
+    )
+
+
 def main():
     from mpc_local_planner_tpu.benchmarks import config3_carlike_min_time, random_ensemble
     from mpc_local_planner_tpu.ocp.grid import initial_primal, warm_start_resample
@@ -112,14 +176,17 @@ def main():
 
 
 if __name__ == "__main__":
+    import os
+
+    entry = latency_mode if os.environ.get("BENCH_MODE") == "latency" else main
     # the axon TPU worker occasionally crashes/restarts mid-run; retry once
     # after a cool-down so the driver still gets a measurement
     try:
-        main()
+        entry()
     except Exception as e:  # noqa: BLE001
         import sys
         import time as _t
 
         print(f"bench attempt 1 failed ({type(e).__name__}); retrying", file=sys.stderr)
         _t.sleep(60)
-        main()
+        entry()

@@ -34,20 +34,33 @@ def main():
 
     # costmap: one lethal blob ON the plan (forces a detour), one beside it
     data = np.zeros((60, 80), dtype=np.uint8)
-    data[22:24, 19:22] = 254   # world ≈ (1.5, 0.78) — brushing the path
+    data[24:26, 19:22] = 254   # world ≈ (1.5, 1.0) — near the path; far
+    # enough that the lookahead goal keeps obstacle clearance (a goal inside
+    # the clearance zone + xf_fixed is an infeasible OCP — the reference
+    # relies on global replanning in that case)
     data[32:36, 55:58] = 254   # world ≈ (5.2, 1.8) — off-path
     cm = Costmap(data=data, origin=(-0.5, -1.5), resolution=0.1)
 
+    import jax.numpy as jnp
+
+    model = lp.controller.spec.model
     x = np.array([0.0, 0.0, 0.0])
+    u_prev = np.zeros(2)  # control currently applied (feeds the rate bounds)
     traj = [x.copy()]
     for cycle in range(120):
-        twist, res = lp.compute_velocity_commands(x, np.zeros(2), costmap=cm)
+        twist, res = lp.compute_velocity_commands(x, u_prev, costmap=cm)
         if res is None:
             print(f"cycle {cycle}: solver/feasibility veto — holding")
             continue
-        x = x + cfg.grid.dt_ref * np.array(
-            [twist[0] * np.cos(x[2]), twist[0] * np.sin(x[2]), twist[2]]
-        )
+        # execute the planned control profile for one control period (ZOH
+        # sampling of u_seq — with variable-dt min-time grids the stage dt
+        # can be much shorter than the control period, so holding just u0
+        # would not track the plan)
+        sub = 6
+        h = cfg.grid.dt_ref / sub
+        for s in range(sub):
+            u_prev = np.asarray(res.u_seq.interpolate((s + 0.5) * h, mode="zoh"))
+            x = x + h * np.asarray(model.f(jnp.asarray(x), jnp.asarray(u_prev)))
         traj.append(x.copy())
         if lp.is_goal_reached(x):
             print(f"goal reached in {cycle + 1} cycles")

@@ -17,7 +17,6 @@ packed decision vector z = [X_free, U, dt?] used by the float64 golden solver
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

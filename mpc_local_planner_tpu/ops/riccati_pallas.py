@@ -21,7 +21,6 @@ including the augmented-state dt handling and the dV bookkeeping).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -33,11 +32,6 @@ from mpc_local_planner_tpu.solvers.riccati import LqrStep
 SUBLANES = 2  # scenarios per program; input double-buffering must fit 16MB VMEM (host-side relayout dominates this kernel — see module docstring)
 LANES = 128
 BT = SUBLANES * LANES  # scenarios per kernel instance
-
-
-def _mat(ref, *idx):
-    """Read a small-matrix element tile (S, 128) with static minor indices."""
-    return ref[idx]
 
 
 def _riccati_kernel(

@@ -13,7 +13,7 @@ The same code runs on a virtual CPU mesh (tests/CI via
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -69,7 +69,6 @@ def make_sharded_solver(spec, settings: Optional[SolverSettings] = None, mesh: O
 
     if mesh is None:
         return jax.jit(solve)
-    sharding = NamedSharding(mesh, batch_spec())
 
     def constrained(scenario, init, duals):
         out = solve(scenario, init, duals)
@@ -80,7 +79,6 @@ def make_sharded_solver(spec, settings: Optional[SolverSettings] = None, mesh: O
             out,
         )
 
-    _ = sharding
     return jax.jit(constrained)
 
 

@@ -13,7 +13,7 @@ artifacts (OcpSpec + SolverSettings + footprint/model objects).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 from mpc_local_planner_tpu.geometry.footprints import make_footprint
 from mpc_local_planner_tpu.ocp.spec import OcpSpec
@@ -141,6 +141,14 @@ class SolverNs:
     inner_iterations: int = 0
     rho0: float = 0.0
     rho_growth: float = 0.0
+    # feasibility tolerances for the converged flag (parity: ipopt.tol);
+    # 0 → solver default (1e-4). Control-grade deployments typically use 1e-3.
+    tol_eq: float = 0.0
+    tol_ineq: float = 0.0
+    # warm-cycle budget (0 → measured production preset 2×3); the cold
+    # budget above applies on (re)initialization only
+    warm_iterations: int = 0
+    warm_inner_iterations: int = 0
 
     def settings(self, spec: OcpSpec) -> SolverSettings:
         over: Dict[str, Any] = {}
@@ -152,7 +160,28 @@ class SolverNs:
             over["rho0"] = self.rho0
         if self.rho_growth > 0:
             over["rho_growth"] = self.rho_growth
+        if self.tol_eq > 0:
+            over["tol_eq"] = self.tol_eq
+        if self.tol_ineq > 0:
+            over["tol_ineq"] = self.tol_ineq
         return SolverSettings.for_spec(spec, **over)
+
+    def warm_settings(self, spec: OcpSpec) -> SolverSettings:
+        """Per-cycle budget once a warm start exists (measured preset:
+        2 AL phases × 3 SQP iterations, 8-candidate line search)."""
+        base = self.settings(spec)
+        import dataclasses as _dc
+
+        return _dc.replace(
+            base,
+            n_al=self.warm_iterations or 2,
+            n_sqp=self.warm_inner_iterations or 4,
+            rho0=max(base.rho0, 50.0),
+            reg0=1.0,
+            alphas=(1.0, 0.7, 0.5, 0.35, 0.22, 0.14, 0.08, 0.03),
+            tol_eq=self.tol_eq or 1e-3,
+            tol_ineq=self.tol_ineq or 1e-3,
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -240,6 +269,11 @@ class PlannerConfig:
 
     def solver_settings(self, spec: Optional[OcpSpec] = None) -> SolverSettings:
         return self.solver.settings(spec if spec is not None else self.to_ocp_spec())
+
+    def warm_solver_settings(self, spec: Optional[OcpSpec] = None) -> SolverSettings:
+        return self.solver.warm_settings(
+            spec if spec is not None else self.to_ocp_spec()
+        )
 
 
 def _build_ns(cls, d: Dict[str, Any]):

@@ -60,6 +60,10 @@ class Controller:
         self.config = config
         self.spec = config.to_ocp_spec()
         self.settings = config.solver_settings(self.spec)
+        # warm-started cycles use a small iteration budget (parity: the
+        # reference relies on warm starts + IPOPT iteration caps to hit the
+        # control cycle; running the cold budget every cycle wastes ~20×)
+        self.warm_settings = config.warm_solver_settings(self.spec)
         self.batch = batch          # None = unbatched single-robot mode
         self.dtype = dtype
         self._primal: Optional[Primal] = None
@@ -68,10 +72,16 @@ class Controller:
         self._last_ok = None
         self._last_diverged = None
 
-        def _solve(scenario, init, duals):
-            return solve_single(self.spec, self.settings, scenario, init, duals)
+        def mk(settings):
+            def _solve(scenario, init, duals):
+                return solve_single(self.spec, settings, scenario, init, duals)
 
-        self._solve = jax.jit(jax.vmap(_solve) if batch is not None else _solve)
+            return jax.jit(jax.vmap(_solve) if batch is not None else _solve)
+
+        self._solve = mk(self.settings)
+        self._solve_warm = (
+            self._solve if self.warm_settings == self.settings else mk(self.warm_settings)
+        )
 
     # -- warm-start policy ------------------------------------------------ #
     def reset(self):
@@ -108,16 +118,28 @@ class Controller:
         scenario: Scenario,
         plan: Optional[jax.Array] = None,
         shift_steps: int = 1,
+        elapsed: Optional[float] = None,
     ) -> ControlResult:
         """One MPC cycle: warm start → solve → extract first control.
 
         scenario: current x0/goal/obstacles/via points (batched iff
         ``batch`` was given). plan: optional (..., P, 3) transformed global
         plan used to seed the grid on (re)initialization (parity:
-        generateInitialStateTrajectory).
+        generateInitialStateTrajectory). elapsed: wall time since the last
+        cycle — the warm-start shift becomes round(elapsed / dt) stages
+        (parity: the reference shifts its grid by the elapsed interval; with
+        variable-dt min-time grids dt* can be much smaller than the control
+        period, so a fixed 1-stage shift would lag). Unbatched mode only
+        (batched dt varies per scenario; pass shift_steps explicitly there).
         """
+        if elapsed is not None and self.batch is None and self._primal is not None:
+            dt_prev = float(self._primal.dt)
+            shift_steps = int(
+                min(max(round(elapsed / max(dt_prev, 1e-6)), 1), self.spec.N // 2)
+            )
         goal = scenario.xf
-        if self._needs_reinit(goal):
+        cold = self._needs_reinit(goal)
+        if cold:
             if plan is not None and self.config.grid.warm_start:
                 init = primal_from_plan(self.spec, plan, scenario.x0)
             else:
@@ -153,7 +175,7 @@ class Controller:
             init = sel(diverged, fresh_p, init)
             duals = sel(diverged, self._fresh_duals(), duals)
 
-        result = self._solve(scenario, init, duals)
+        result = (self._solve if cold else self._solve_warm)(scenario, init, duals)
 
         self._primal, self._duals = result.primal, result.duals
         self._last_ok = result.converged

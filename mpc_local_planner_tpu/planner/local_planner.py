@@ -224,11 +224,22 @@ class LocalPlanner:
         self.config = config
         self.controller = Controller(config, batch=batch)
         self._global_plan: Optional[np.ndarray] = None
+        #: last OptimalControlResult when controller.publish_ocp_results is
+        #: set (parity: the "mpc/ocp_result" topic)
+        self.last_ocp_result = None
 
     def set_plan(self, plan: np.ndarray) -> None:
         """Parity: MpcLocalPlannerROS::setPlan."""
         self._global_plan = np.asarray(plan, dtype=np.float64)
         self.controller.reset()
+
+    def set_state_feedback(self, state, stamp: float = 0.0) -> None:
+        """External state estimate (parity: Controller::stateFeedbackCallback
+        consuming mpc_local_planner_msgs/StateFeedback)."""
+        import numpy as _np
+
+        self._state_feedback = _np.asarray(state, dtype=_np.float64)
+        self._state_feedback_stamp = stamp
 
     def compute_velocity_commands(
         self,
@@ -240,7 +251,9 @@ class LocalPlanner:
         """One control cycle. Returns (twist (3,), ControlResult | None).
 
         Follows SURVEY.md §4.2: prune → transform → obstacles → via points →
-        Controller.step → feasibility veto.
+        Controller.step → feasibility veto. With prefer_x_feedback set and a
+        state feedback message present, the fed-back state replaces odometry
+        (parity: RobotDynamicsInterface::mergeStateFeedbackAndOdomFeedback).
         """
         import jax.numpy as jnp
 
@@ -252,6 +265,12 @@ class LocalPlanner:
         c = self.config.controller
         col = self.config.collision
         pose = np.asarray(robot_pose, dtype=np.float64)
+        fb = getattr(self, "_state_feedback", None)
+        if c.prefer_x_feedback and fb is not None:
+            pose = self.controller.spec.model.merge_state_feedback_and_odom(
+                fb, pose, prefer_feedback=True
+            )
+            pose = np.asarray(pose, dtype=np.float64)
 
         self._global_plan = prune_global_plan(
             self._global_plan, pose[:2], c.global_plan_prune_distance
@@ -315,7 +334,11 @@ class LocalPlanner:
             via_mask=jnp.asarray(via_mask),
             u_prev=jnp.asarray(np.asarray(robot_vel)[: spec.nu], dtype=jnp.float32),
         )
-        result = self.controller.step(scen, plan=jnp.asarray(local, dtype=jnp.float32))
+        result = self.controller.step(
+            scen,
+            plan=jnp.asarray(local, dtype=jnp.float32),
+            elapsed=self.config.grid.dt_ref,
+        )
 
         # post-solve feasibility veto against the raw costmap
         if costmap is not None:
@@ -335,9 +358,20 @@ class LocalPlanner:
                 self.controller.reset()
                 return np.zeros(3), None
 
-        if not bool(np.asarray(result.solve.converged).all()):
+        # Parity: the reference applies u0 whenever the solver returned a
+        # solution (optimal_solution_found is informational; the costmap
+        # feasibility check above is the safety gate). Only a diverged solve
+        # (NaN/blown-up state) zeroes the command and drops the warm start.
+        eq = np.asarray(result.solve.eq_norm)
+        viol = np.asarray(result.solve.ineq_viol)
+        diverged = ~np.isfinite(eq) | ~np.isfinite(viol) | (eq > 0.5) | (viol > 0.5)
+        if bool(np.any(diverged)):
             self.controller.reset()
             return np.zeros(3), None
+        if c.publish_ocp_results:
+            from mpc_local_planner_tpu.msgs import OptimalControlResult
+
+            self.last_ocp_result = OptimalControlResult.from_control_result(result)
         return np.asarray(result.twist), result
 
     def is_goal_reached(self, robot_pose) -> bool:

@@ -605,7 +605,7 @@ def _sqp_iteration(spec, funcs, settings, stage_fns, term_fns, primal, scenario,
             jnp.maximum(reg, settings.reg0) * settings.reg_grow, settings.reg_max
         ),
     )
-    _ = merit0
+    _ = merit0  # kept: alpha-0 merit anchors the candidate comparison above
     return new_primal, new_reg
 
 

@@ -34,9 +34,9 @@ def test_via_points_flow_from_plan_to_scenario(monkeypatch):
     captured = {}
     orig_step = lp.controller.step
 
-    def spy(scen, plan=None, shift_steps=1):
+    def spy(scen, plan=None, **kw):
         captured["scen"] = scen
-        return orig_step(scen, plan=plan, shift_steps=shift_steps)
+        return orig_step(scen, plan=plan, **kw)
 
     monkeypatch.setattr(lp.controller, "step", spy)
     twist, res = lp.compute_velocity_commands(np.zeros(3), np.zeros(2))

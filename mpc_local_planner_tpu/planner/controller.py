@@ -101,15 +101,17 @@ class Controller:
         return d
 
     def _needs_reinit(self, goal) -> bool:
-        """Parity: force_reinit_new_goal_dist / force_reinit_new_goal_angular."""
-        if self._primal is None or self._last_goal is None:
-            return True
+        """True when no warm state exists yet (full cold solve)."""
+        return self._primal is None or self._last_goal is None
+
+    def _goal_changed_mask(self, goal):
+        """Per-scenario goal-change mask (parity: force_reinit_new_goal_dist /
+        force_reinit_new_goal_angular). Scalar bool array when unbatched."""
         c = self.config.controller
         dp = jnp.linalg.norm(goal[..., :2] - self._last_goal[..., :2], axis=-1)
         da = jnp.abs(angle_diff(goal[..., 2], self._last_goal[..., 2]))
-        return bool(
-            jnp.any(dp > c.force_reinit_new_goal_dist)
-            | jnp.any(da > c.force_reinit_new_goal_angular)
+        return jnp.logical_or(
+            dp > c.force_reinit_new_goal_dist, da > c.force_reinit_new_goal_angular
         )
 
     # -- the control cycle ------------------------------------------------ #
@@ -150,9 +152,11 @@ class Controller:
             # scenarios advance (resample for shrinking-horizon min-time,
             # shift otherwise) with stage-shifted duals; unconverged-but-sane
             # ones CONTINUE from their current iterate (iterations accumulate
-            # across cycles); diverged ones reset fresh.
-            ok = self._last_ok
-            diverged = self._last_diverged
+            # across cycles); diverged ones — and scenarios whose goal moved
+            # beyond the force-reinit thresholds — reset fresh (per scenario).
+            changed = self._goal_changed_mask(goal)
+            ok = jnp.logical_and(self._last_ok, ~changed)
+            diverged = jnp.logical_or(self._last_diverged, changed)
             if self.spec.min_time and self.spec.variable_dt:
                 advanced = warm_start_resample(
                     self._primal, scenario.x0, steps=shift_steps, spec=self.spec

@@ -389,6 +389,11 @@ def _make_terminal_fns(spec: OcpSpec):
 # --------------------------------------------------------------------------- #
 # per-solve data assembly
 # --------------------------------------------------------------------------- #
+def _stage_obstacles_hoisted(spec, scenario, dt):
+    """Per-stage obstacle sets for a whole solve (see solve loop hoisting)."""
+    return _stage_obstacles(spec, scenario, dt, spec.N + 1)
+
+
 def _stage_obstacles(spec, scenario, dt, n):
     """Per-stage obstacle sets, leaves broadcast to a leading (n,) axis.
 
@@ -448,7 +453,10 @@ def _al_merit(funcs: OcpFunctions, primal: Primal, scenario, duals: DualState):
 # --------------------------------------------------------------------------- #
 # one SQP iteration: derivatives → Riccati → line search
 # --------------------------------------------------------------------------- #
-def _sqp_iteration(spec, funcs, settings, stage_fns, term_fns, primal, scenario, duals, reg):
+def _sqp_iteration(
+    spec, funcs, settings, stage_fns, term_fns, primal, scenario, duals, reg,
+    obs_k=None,
+):
     N, nx, nu = spec.N, spec.nx, spec.nu
     nw = nx + 2 * nu + 1
     na = nx + nu + 1
@@ -476,7 +484,8 @@ def _sqp_iteration(spec, funcs, settings, stage_fns, term_fns, primal, scenario,
 
     # ---- stage data ----------------------------------------------------- #
     via_w = _via_weights(spec, xs, scenario)          # (N+1, Mv)
-    obs_k = _stage_obstacles(spec, scenario, dt, N + 1)
+    if obs_k is None:
+        obs_k = _stage_obstacles(spec, scenario, dt, N + 1)
     obs_stages = jax.tree_util.tree_map(lambda a: a[:N], obs_k)
     obs_term = jax.tree_util.tree_map(lambda a: a[N], obs_k)
     M = spec.obstacle_cap
@@ -695,13 +704,20 @@ def _solve_single_impl(
     dtype = init.xs.dtype
     reg0 = jnp.asarray(settings.reg0, dtype)
 
+    # hoist the per-stage obstacle sets out of the iteration loops: for
+    # static obstacles they are loop-invariant broadcasts; for dynamic ones
+    # the prediction times use the initial dt (stop-gradded stage data —
+    # consistent with the reference treating predictions as per-cycle data)
+    obs_k = _stage_obstacles_hoisted(spec, scenario, init.dt)
+
     def al_body(carry, _):
         primal, duals, viol_prev = carry
 
         def sqp_body(c2, _):
             p, r = c2
             p2, r2 = _sqp_iteration(
-                spec, funcs, settings, stage_fns, term_fns, p, scenario, duals, r
+                spec, funcs, settings, stage_fns, term_fns, p, scenario, duals, r,
+                obs_k=obs_k,
             )
             return (p2, r2), None
 

@@ -62,7 +62,7 @@ def test_fleet_warm_cycles_and_per_scenario_goal_reinit():
 
     # change ONE goal beyond the reinit threshold: that scenario resets,
     # the others keep their warm state and stay converged
-    new_goals = goals.at[2].set(jnp.array([-1.5, 0.8, 2.0]))
+    new_goals = goals.at[2].set(jnp.array([-1.5, 0.8, 2.0], dtype=jnp.float32))
     scen = dc.replace(scen, xf=new_goals)
     r3 = ctrl.step(scen)
     others = np.asarray(r3.solve.converged)[[0, 1, 3]]

@@ -129,7 +129,20 @@ class CollisionNs:
     cutoff_dist: float = 2.5
     force_inclusion_dist: float = 1.5
     enable_dynamic_obstacles: bool = False
-    obstacle_capacity: int = 50  # padded slot budget (shapes are static)
+    # padded slot budgets (shapes are static): costmap point cells, custom
+    # circle obstacles, converter polygons
+    obstacle_capacity: int = 50
+    # custom circular obstacles (LocalPlanner extra_obstacles) need their own
+    # static budget; 0 = feature off (passing extras without a budget drops
+    # them — shapes cannot grow at runtime)
+    circle_capacity: int = 0
+    # costmap → obstacle representation (parity: costmap_converter plugin
+    # selection): "points" = lethal cells as point obstacles;
+    # "polygons" = cluster + convex hull via the native converter
+    # (CostmapToPolygonsDBSMCCH analog; requires the native library).
+    costmap_converter: str = "points"
+    polygon_capacity: int = 12
+    max_polygon_vertices: int = 12
 
 
 @dataclasses.dataclass(frozen=True)
@@ -260,7 +273,9 @@ class PlannerConfig:
             variable_dt=g.variable_grid_enable,
             limits=self.robot.limits(),
             min_obstacle_dist=c.min_obstacle_dist,
-            obstacle_cap=c.obstacle_capacity,
+            obstacle_cap=c.obstacle_capacity
+            + c.circle_capacity
+            + (c.polygon_capacity if c.costmap_converter == "polygons" else 0),
             via_cap=self.via_capacity,
             via_position_weight=p.via_points_position_weight,
             via_orientation_weight=p.via_points_orientation_weight,

@@ -284,38 +284,55 @@ class LocalPlanner:
         if c.global_plan_overwrite_orientation:
             goal[2] = estimate_local_goal_orientation(local)
 
-        # obstacles: costmap cells + custom containers, padded to capacity
-        # (native C++ scan when built — see native/costmap.cpp)
+        # obstacles: costmap cells (points or converter polygons) + custom
+        # circles, padded to the static capacities the solver was compiled
+        # for (native C++ scan/clustering when built — see native/costmap.cpp)
         from mpc_local_planner_tpu import native
 
-        points = []
+        pts = np.zeros((0, 2))
+        polys: list = []
+        poly_cap = (
+            col.polygon_capacity if col.costmap_converter == "polygons" else 0
+        )
         if costmap is not None and col.include_costmap_obstacles:
-            if native.available():
-                points.append(
-                    native.extract_points(
-                        costmap, pose, col.costmap_obstacles_behind_robot_dist,
-                        col.cutoff_dist,
-                    )
+            if poly_cap and native.available():
+                raw = native.extract_polygons(
+                    costmap,
+                    max_polys=col.polygon_capacity,
+                    max_total_verts=col.polygon_capacity
+                    * max(col.max_polygon_vertices, 8)
+                    * 4,
+                )
+                for hull in raw:
+                    if hull.shape[0] > col.max_polygon_vertices:
+                        # decimate oversize hulls to the static vertex budget
+                        idx = np.linspace(
+                            0, hull.shape[0] - 1, col.max_polygon_vertices
+                        ).astype(int)
+                        hull = hull[idx]
+                    polys.append(hull)
+            elif native.available():
+                pts = native.extract_points(
+                    costmap, pose, col.costmap_obstacles_behind_robot_dist,
+                    col.cutoff_dist,
                 )
             else:
-                points.append(
-                    costmap_to_obstacle_points(
-                        costmap, pose, col.costmap_obstacles_behind_robot_dist,
-                        col.cutoff_dist,
-                    )
+                pts = costmap_to_obstacle_points(
+                    costmap, pose, col.costmap_obstacles_behind_robot_dist,
+                    col.cutoff_dist,
                 )
-        pts = (
-            np.concatenate(points, axis=0) if points else np.zeros((0, 2))
-        )
         cap = col.obstacle_capacity
         if pts.shape[0] > cap:
             # keep the nearest cap points (parity: cutoff radius then nearest)
             d = np.linalg.norm(pts - pose[None, :2], axis=1)
             pts = pts[np.argsort(d)[:cap]]
+        circles = list(extra_obstacles)[: col.circle_capacity] if extra_obstacles else []
         obs = ObstacleSet.from_lists(
             points=list(pts),
-            circles=list(extra_obstacles) if extra_obstacles is not None else None,
-            capacities=(cap, len(extra_obstacles) if extra_obstacles else 0, 0, 0),
+            circles=circles,
+            polygons=polys[:poly_cap] if poly_cap else None,
+            capacities=(cap, col.circle_capacity, 0, poly_cap),
+            max_polygon_vertices=col.max_polygon_vertices,
         )
 
         via = extract_via_points(local, c.global_plan_viapoint_sep)

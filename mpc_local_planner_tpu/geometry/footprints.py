@@ -162,9 +162,12 @@ class PolygonFootprint:
         nv = jnp.asarray(verts.shape[-2], dtype=jnp.int32)
         nv_b = jnp.broadcast_to(nv, verts.shape[:-2])
 
-        d_pts = -point_to_polygon_signed(obs.points, verts[..., None, :, :], nv_b[..., None])
+        # point_to_polygon_signed is negative when the obstacle point lies
+        # INSIDE the robot polygon (penetration) and positive outside — the
+        # exact footprint-distance convention; no sign flip.
+        d_pts = point_to_polygon_signed(obs.points, verts[..., None, :, :], nv_b[..., None])
         d_circ = (
-            -point_to_polygon_signed(obs.circles, verts[..., None, :, :], nv_b[..., None])
+            point_to_polygon_signed(obs.circles, verts[..., None, :, :], nv_b[..., None])
             - obs.circle_radii
         )
         d_line = segment_to_polygon(

@@ -66,18 +66,28 @@ def se2_boxminus(xa, xb):
     costs (full_discretization_grid_base_se2.h).
     """
     d = xa - xb
-    return d.at[..., 2].set(normalize_angle(d[..., 2]))
+    return _wrap_theta(d)
+
+
+def _wrap_theta(x):
+    """Wrap component 2 of (..., 3) states without a scatter.
+
+    ``x.at[..., 2].set(...)`` lowers to a padded scatter on TPU (the 3-wide
+    minor dim tiles to a full 128-lane tile per update); the concatenate form
+    is a single fused elementwise pass. Hot: called per line-search candidate.
+    """
+    return jnp.concatenate(
+        [x[..., :2], normalize_angle(x[..., 2:3])], axis=-1
+    )
 
 
 def se2_boxplus(x, delta):
     """SE(2)-aware increment x ⊞ delta with angle wrap on component 2."""
-    s = x + delta
-    return s.at[..., 2].set(normalize_angle(s[..., 2]))
+    return _wrap_theta(x + delta)
 
 
 def se2_interpolate(xa, xb, t):
     """Linear interpolation of SE(2) states with shortest-arc angle blending."""
     t = jnp.asarray(t)[..., None] if jnp.ndim(t) == jnp.ndim(xa) - 1 else t
     d = se2_boxminus(xb, xa)
-    out = xa + t * d
-    return out.at[..., 2].set(normalize_angle(out[..., 2]))
+    return _wrap_theta(xa + t * d)

@@ -18,11 +18,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from mpc_local_planner_tpu.core.so2 import normalize_angle, se2_interpolate
-
-
-def _wrap(d):
-    return d.at[..., 2].set(normalize_angle(d[..., 2]))
+from mpc_local_planner_tpu.core.so2 import _wrap_theta as _wrap
+from mpc_local_planner_tpu.core.so2 import se2_interpolate
 
 
 def _phi_forward(model, xk, uk, xk1):

@@ -598,7 +598,10 @@ def _sqp_iteration(
     # non-finite candidate merits lose the line search; the α = 0 candidate
     # equals the current iterate (the step is finite by construction above)
     merits = jnp.where(jnp.isfinite(merits), merits, jnp.inf)
-    merits = merits.at[-1].set(jnp.minimum(merits[-1], jnp.finfo(dtype).max))
+    is_last = jnp.arange(merits.shape[0]) == merits.shape[0] - 1
+    merits = jnp.where(
+        is_last, jnp.minimum(merits, jnp.finfo(dtype).max), merits
+    )
     merit0 = merits[-1]  # alpha = 0 candidate = current iterate
     best = jnp.argmin(merits)
     accepted = alphas[best] > 0.0

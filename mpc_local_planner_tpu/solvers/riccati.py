@@ -62,14 +62,16 @@ def lqr_solve(
     # TWO matmuls against P (P@W, Wᵀ@(PW)) instead of six — the scan body is
     # op-count-bound on TPU, not FLOP-bound (blocks are tiny).
     W = jnp.concatenate([Fz, Gz], axis=-1)                       # (N, na, na+nu)
+    # fold the Levenberg regularizer into Huu BEFORE the concatenation — an
+    # .at[].add on the assembled (N, nw, nw) would be a padded scatter on TPU
+    Huu_r = Huu + reg * jnp.eye(nu, dtype=dtype)
     Hfull = jnp.concatenate(
         [
             jnp.concatenate([Hzz, Hzu], axis=-1),
-            jnp.concatenate([jnp.swapaxes(Hzu, -1, -2), Huu], axis=-1),
+            jnp.concatenate([jnp.swapaxes(Hzu, -1, -2), Huu_r], axis=-1),
         ],
         axis=-2,
     )                                                            # (N, nw, nw)
-    Hfull = Hfull.at[:, na:, na:].add(reg * jnp.eye(nu, dtype=dtype))
     hfull = jnp.concatenate([hz, hu], axis=-1)                   # (N, nw)
 
     def backward(carry, inp):
@@ -134,13 +136,23 @@ def build_augmented_transition(F, G, m, r, *, nu: int):
     N, nx = F.shape[0], F.shape[1]
     na = nx + nu + 1
     dtype = F.dtype
-    Fz = jnp.zeros((N, na, na), dtype=dtype)
-    Fz = Fz.at[:, :nx, :nx].set(F)
-    Fz = Fz.at[:, :nx, na - 1].set(m)
-    Fz = Fz.at[:, na - 1, na - 1].set(1.0)
-    Gz = jnp.zeros((N, na, nu), dtype=dtype)
-    Gz = Gz.at[:, :nx, :].set(G)
-    Gz = Gz.at[:, nx : nx + nu, :].set(jnp.eye(nu, dtype=dtype))
-    rz = jnp.zeros((N, na), dtype=dtype)
-    rz = rz.at[:, :nx].set(r)
+    # Concat-based assembly — NO .at[].set: under vmap those lower to padded
+    # scatters over (B, N, na, na) buffers whose tiny minor dims tile to full
+    # 8x128 TPU tiles; measured ~45 ms/iteration at batch 4096 (~70% of the
+    # whole SQP iteration) vs ~0 for the concatenation form.
+    top = jnp.concatenate(
+        [F, jnp.zeros((N, nx, nu), dtype), m[:, :, None]], axis=-1
+    )  # (N, nx, na)
+    mid = jnp.zeros((N, nu, na), dtype)
+    bot = jnp.broadcast_to(jnp.eye(na, dtype=dtype)[na - 1 : na], (N, 1, na))
+    Fz = jnp.concatenate([top, mid, bot], axis=-2)
+    Gz = jnp.concatenate(
+        [
+            G,
+            jnp.broadcast_to(jnp.eye(nu, dtype=dtype), (N, nu, nu)),
+            jnp.zeros((N, 1, nu), dtype),
+        ],
+        axis=-2,
+    )
+    rz = jnp.concatenate([r, jnp.zeros((N, nu + 1), dtype)], axis=-1)
     return Fz, Gz, rz

@@ -99,10 +99,15 @@ def main():
 
     spec = config3_carlike_min_time(N=30, obstacle_cap=8)
     cold = SolverSettings.for_spec(spec)
-    # budget frontier measured on v5e (batch 4096, conv = steady-state
-    # fraction at 1e-3 feasibility): 2×3+8α → 8.8k/s @ 0.64, 2×4+8α →
-    # 6.6k/s @ 0.70, 3×4 → 4.5k/s @ 0.81. Line-search candidates are free
-    # (measured), so the 8-candidate ladder maximizes per-iteration progress.
+    # budget frontier measured on v5e, round 2 (batch 4096, post scatter-fix;
+    # conv = steady-state fraction at 1e-3 feasibility):
+    #   2×3+8α → 28.2k/s @ 0.60 → 16.9k converged/s   <- operating point
+    #   2×4+8α → 21.3k/s @ 0.67 → 14.2k
+    #   3×4    → 14.3k/s @ 0.82 → 11.8k
+    # The headline metric is CONVERGED solves/s (a solve only counts if it
+    # meets its own 1e-3 feasibility tolerance). ~11-14% of the random
+    # ensemble is near-infeasible (cold 240-iteration conv = 0.86), which
+    # bounds the reachable converged fraction.
     warm = SolverSettings(
         n_al=2, n_sqp=3, rho0=50.0, reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3,
         alphas=(1.0, 0.7, 0.5, 0.35, 0.22, 0.14, 0.08, 0.03),
@@ -156,19 +161,21 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     solves_per_s = batch / dt
+    conv_frac = n_conv / batch
     baseline = 10.0  # reference: 1 solve / 100 ms cycle on one CPU core
     print(
         json.dumps(
             {
-                "metric": "warm_mpc_solves_per_s_n30_carlike_mintime",
-                "value": round(solves_per_s, 1),
-                "unit": "solves/s",
-                "vs_baseline": round(solves_per_s / baseline, 2),
+                "metric": "warm_mpc_converged_solves_per_s_n30_carlike_mintime",
+                "value": round(solves_per_s * conv_frac, 1),
+                "unit": "converged solves/s",
+                "vs_baseline": round(solves_per_s * conv_frac / baseline, 2),
                 "extra": {
                     "batch": batch,
                     "cycle_ms": round(dt * 1e3, 2),
+                    "total_solves_per_s": round(solves_per_s, 1),
                     "warm_iterations": warm.n_al * warm.n_sqp,
-                    "converged_frac": round(n_conv / batch, 3),
+                    "converged_frac": round(conv_frac, 3),
                 },
             }
         )

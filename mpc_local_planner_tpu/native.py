@@ -33,7 +33,23 @@ def load() -> Optional[ctypes.CDLL]:
     lib.mpc_costmap_extract_points.argtypes = [
         u8p, ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, dp, ctypes.c_double, ctypes.c_double, ctypes.c_uint8,
-        dp, ctypes.c_int,
+        dp, ctypes.c_int, ctypes.c_double,
+    ]
+    lib.mpc_costmap_extract_lines.restype = ctypes.c_int
+    lib.mpc_costmap_extract_lines.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_uint8, ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, dp, ctypes.c_int,
+    ]
+    lib.mpc_costmap_cluster_centroids.restype = ctypes.c_int
+    lib.mpc_costmap_cluster_centroids.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_uint8, ctypes.c_int, dp, ctypes.c_int,
+    ]
+    lib.mpc_tracker_update.restype = ctypes.c_int
+    lib.mpc_tracker_update.argtypes = [
+        dp, ctypes.c_int, dp, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ip, dp, ctypes.c_int,
     ]
     lib.mpc_costmap_extract_polygons.restype = ctypes.c_int
     lib.mpc_costmap_extract_polygons.argtypes = [
@@ -69,6 +85,7 @@ def _grid(costmap):
 def extract_points(
     costmap, robot_pose, behind_dist: float, cutoff_dist: float,
     threshold: int = 254, max_out: int = 4096,
+    force_inclusion_dist: float = 0.0,
 ) -> np.ndarray:
     lib = load()
     data, H, W, ox, oy, res = _grid(costmap)
@@ -79,8 +96,64 @@ def extract_points(
         pose.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         float(behind_dist), float(cutoff_dist), threshold,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), max_out,
+        float(force_inclusion_dist),
     )
     return out[:n].copy()
+
+
+def extract_lines(
+    costmap, threshold: int = 254, min_cluster: int = 2,
+    inlier_dist: float = 0.08, min_inliers: int = 4, max_out: int = 64,
+) -> np.ndarray:
+    """Line-segment obstacles from the costmap (parity:
+    CostmapToLinesDBSRANSAC). Returns (L, 2, 2) segment endpoints."""
+    lib = load()
+    data, H, W, ox, oy, res = _grid(costmap)
+    out = np.empty((max_out, 4), dtype=np.float64)
+    n = lib.mpc_costmap_extract_lines(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), H, W, ox, oy, res,
+        threshold, min_cluster, float(inlier_dist), min_inliers,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), max_out,
+    )
+    return out[:n].reshape(n, 2, 2).copy()
+
+
+def cluster_centroids(
+    costmap, threshold: int = 254, min_cluster: int = 2, max_out: int = 64,
+) -> np.ndarray:
+    """Blob detection: per-cluster (cx, cy, radius) — the front end of the
+    dynamic-obstacle converter (parity: CostmapToDynamicObstacles)."""
+    lib = load()
+    data, H, W, ox, oy, res = _grid(costmap)
+    out = np.empty((max_out, 3), dtype=np.float64)
+    n = lib.mpc_costmap_cluster_centroids(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), H, W, ox, oy, res,
+        threshold, min_cluster,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), max_out,
+    )
+    return out[:n].copy()
+
+
+def tracker_update(
+    prev_tracks: np.ndarray, centroids: np.ndarray, dt: float,
+    gate_dist: float = 0.6, vel_alpha: float = 0.5, next_id: int = 0,
+    max_out: int = 64,
+):
+    """Frame-to-frame centroid tracking with velocity estimation (parity:
+    CostmapToDynamicObstacles blob tracker). Tracks are rows of
+    (id, x, y, vx, vy, age). Returns (tracks (T, 6), next_id)."""
+    lib = load()
+    prev = np.ascontiguousarray(np.asarray(prev_tracks, dtype=np.float64).reshape(-1, 6))
+    cur = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64).reshape(-1, 2))
+    out = np.empty((max_out, 6), dtype=np.float64)
+    nid = ctypes.c_int(int(next_id))
+    n = lib.mpc_tracker_update(
+        prev.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), prev.shape[0],
+        cur.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cur.shape[0],
+        float(dt), float(gate_dist), float(vel_alpha), ctypes.byref(nid),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), max_out,
+    )
+    return out[:n].copy(), int(nid.value)
 
 
 def extract_polygons(

@@ -17,6 +17,7 @@ selected stage only, matching the reference's discrete association).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from mpc_local_planner_tpu.core.so2 import angle_diff, se2_boxminus
@@ -26,15 +27,26 @@ def quadratic_form_cost(spec, xs, us, dt, xref):
     """(x ⊖ xref)ᵀQ(x ⊖ xref) + uᵀRu summed over stages k = 0..N-1.
 
     integral_form=False sums the stage terms directly (the reference's
-    non-integral form); integral_form=True multiplies each term by dt
-    (left-rectangle integral, matching cost_integration_method=LeftSum).
-    The terminal state x_N is handled by the terminal cost, not here
+    non-integral form); integral_form=True multiplies each term by dt.
+    The integral rule follows ``spec.cost_integration`` (parity:
+    grid.cost_integration_method): left_sum = left-rectangle; trapezoidal =
+    dt·[½lx_0 + Σ_{1..N-1} lx_k + ½lx_N] + dt·Σ lu_k (exact regrouping; the
+    control integral is rule-independent because u is piecewise constant).
+    The terminal quadratic cost (qf_diag) remains separate
     (parity: QuadraticFormCostSE2 evaluates k < N only).
     """
     q = jnp.asarray(spec.q_diag, dtype=xs.dtype)
     r = jnp.asarray(spec.r_diag, dtype=xs.dtype)
     dx = se2_boxminus(xs[..., :-1, :], xref[..., None, :])
-    term = jnp.sum(dx * dx * q, axis=-1) + jnp.sum(us * us * r, axis=-1)
+    x_term = jnp.sum(dx * dx * q, axis=-1)
+    u_term = jnp.sum(us * us * r, axis=-1)
+    if spec.integral_form and spec.cost_integration == "trapezoidal":
+        w = jnp.ones(x_term.shape[-1], dtype=xs.dtype)
+        w = jnp.where(jnp.arange(x_term.shape[-1]) == 0, 0.5, w)
+        dxN = se2_boxminus(xs[..., -1, :], xref)
+        tail = 0.5 * jnp.sum(dxN * dxN * q, axis=-1)
+        return (jnp.sum(w * x_term + u_term, axis=-1) + tail) * dt
+    term = x_term + u_term
     if spec.integral_form:
         term = term * dt[..., None]
     return jnp.sum(term, axis=-1)
@@ -54,11 +66,45 @@ def minimum_time_cost(spec, dt):
     return spec.N * dt
 
 
+def via_stage_assignment(spec, xs, via_points, via_mask):
+    """Stage index claimed by each via point: (..., Mv) int32.
+
+    Unordered (default): independent nearest-stage argmin per via point.
+    Ordered (``spec.via_points_ordered``): cumulative argmin — via point j
+    may only claim a stage at or after the stage claimed by via point j−1,
+    so the trajectory traverses the via sequence in list order (parity:
+    minimum_time_via_points.via_points_ordered).
+    Inactive (masked) via slots never advance the order cursor.
+    """
+    pos = xs[..., None, :, :2]                  # (..., 1, N+1, 2)
+    vp = via_points[..., :, None, :2]           # (..., Mv, 1, 2)
+    d2 = jnp.sum((pos - vp) ** 2, axis=-1)      # (..., Mv, N+1)
+    if not spec.via_points_ordered:
+        return jnp.argmin(d2, axis=-1)
+    n_states = d2.shape[-1]
+    stages = jnp.arange(n_states)
+    d2_m = jnp.moveaxis(d2, -2, 0)              # (Mv, ..., N+1)
+    mask_m = jnp.moveaxis(via_mask, -1, 0)      # (Mv, ...)
+
+    def body(k_prev, inp):
+        d2_j, active = inp
+        allowed = stages >= k_prev[..., None]
+        k_j = jnp.argmin(jnp.where(allowed, d2_j, jnp.inf), axis=-1).astype(
+            jnp.int32
+        )
+        k_next = jnp.where(active, k_j, k_prev)
+        return k_next, k_j
+
+    k0 = jnp.zeros(d2.shape[:-2], dtype=jnp.int32)
+    _, ks = jax.lax.scan(body, k0, (d2_m, mask_m))
+    return jnp.moveaxis(ks, 0, -1)              # (..., Mv)
+
+
 def via_points_cost(spec, xs, via_points, via_mask):
     """Attraction of the trajectory to via points.
 
     Parity: MinTimeViaPointsCost — per active via point, a quadratic
-    position penalty to the nearest trajectory state (plus an optional
+    position penalty to the assigned trajectory state (plus an optional
     orientation term). Padded via slots contribute exactly zero.
     """
     if spec.via_cap == 0:
@@ -66,7 +112,7 @@ def via_points_cost(spec, xs, via_points, via_mask):
     pos = xs[..., None, :, :2]                  # (..., 1, N+1, 2)
     vp = via_points[..., :, None, :2]           # (..., Mv, 1, 2)
     d2 = jnp.sum((pos - vp) ** 2, axis=-1)      # (..., Mv, N+1)
-    k_near = jnp.argmin(d2, axis=-1)            # (..., Mv)
+    k_near = via_stage_assignment(spec, xs, via_points, via_mask)
     d2_near = jnp.take_along_axis(d2, k_near[..., None], axis=-1)[..., 0]
     cost = spec.via_position_weight * d2_near
     if spec.via_orientation_weight > 0.0:

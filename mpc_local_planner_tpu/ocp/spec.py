@@ -52,6 +52,12 @@ class OcpSpec:
     q_diag: Tuple[float, ...] = (2.0, 2.0, 2.0)
     r_diag: Tuple[float, ...] = (1.0, 1.0)
     integral_form: bool = False
+    # integration rule for the integral-form stage cost (parity:
+    # grid.cost_integration_method — corbo LeftSum / TrapezoidalRule).
+    # Trapezoidal regroups exactly per stage: dt·[½lx_0 + Σ_{1..N-1} lx_k +
+    # ½lx_N] + dt·Σ lu_k (u is piecewise constant, so the control integral is
+    # identical under both rules).
+    cost_integration: str = "left_sum"
     hybrid_time_weight: float = 0.0   # adds w * N * dt to a quadratic objective
     qf_diag: Optional[Tuple[float, ...]] = None
     ball_weights: Tuple[float, ...] = (1.0, 1.0, 1.0)
@@ -67,6 +73,10 @@ class OcpSpec:
     via_cap: int = 0                  # padded via-point slots
     via_position_weight: float = 1.0
     via_orientation_weight: float = 0.0
+    # ordered mode: via points claim stages monotonically in list order
+    # (parity: minimum_time_via_points.via_points_ordered —
+    # min_time_via_points_cost.h :: MinTimeViaPointsCost)
+    via_points_ordered: bool = False
     enable_dynamic_obstacles: bool = False
 
     def __post_init__(self):
@@ -82,6 +92,11 @@ class OcpSpec:
             "minimum_time_via_points",
         ):
             raise ValueError(f"unknown objective {self.objective!r}")
+        if self.cost_integration not in ("left_sum", "trapezoidal"):
+            raise ValueError(
+                f"unknown cost_integration {self.cost_integration!r}; "
+                "options: left_sum, trapezoidal"
+            )
 
     # -- derived static properties -------------------------------------- #
     @property

@@ -111,6 +111,7 @@ class PlanningNs:
     hybrid_cost_minimum_time: float = 0.0
     via_points_position_weight: float = 1.0
     via_points_orientation_weight: float = 0.0
+    via_points_ordered: bool = False
     terminal_cost_type: str = "none"          # none | quadratic
     final_state_weights: Tuple[float, ...] = (10.0, 10.0, 10.0)
     terminal_constraint_type: str = "none"    # none | ball
@@ -126,7 +127,14 @@ class CollisionNs:
     include_costmap_obstacles: bool = True
     costmap_obstacles_behind_robot_dist: float = 1.5
     collision_check_no_poses: int = -1
+    # interpolate an extra feasibility-check pose when consecutive planned
+    # states differ by more than this heading angle (parity:
+    # collision_check_min_resolution_angular)
+    collision_check_min_resolution_angular: float = 3.141592653589793
     cutoff_dist: float = 2.5
+    # lethal cells within this radius of the robot are included even when the
+    # behind-the-robot filter would drop them (parity: force_inclusion_dist in
+    # updateObstacleContainerWithCostmap; must be <= cutoff_dist to matter)
     force_inclusion_dist: float = 1.5
     enable_dynamic_obstacles: bool = False
     # padded slot budgets (shapes are static): costmap point cells, custom
@@ -137,12 +145,36 @@ class CollisionNs:
     # them — shapes cannot grow at runtime)
     circle_capacity: int = 0
     # costmap → obstacle representation (parity: costmap_converter plugin
-    # selection): "points" = lethal cells as point obstacles;
-    # "polygons" = cluster + convex hull via the native converter
-    # (CostmapToPolygonsDBSMCCH analog; requires the native library).
+    # selection):
+    #   "points"   = lethal cells as point obstacles
+    #   "polygons" = cluster + convex hull (CostmapToPolygonsDBSMCCH analog)
+    #   "lines"    = cluster + dominant-line extraction
+    #                (CostmapToLinesDBSRANSAC analog)
+    #   "dynamic"  = cluster + frame-to-frame blob tracking with velocity
+    #                estimation (CostmapToDynamicObstacles analog) — pair
+    #                with enable_dynamic_obstacles so the solver predicts
+    # Native C++ implementations are used when built; python fallbacks
+    # otherwise.
     costmap_converter: str = "points"
     polygon_capacity: int = 12
     max_polygon_vertices: int = 12
+    # static slot budgets for the line / dynamic converter modes
+    line_capacity: int = 8
+    dynamic_capacity: int = 8
+    # line-converter fit parameters (parity: CostmapToLinesDBSRANSAC
+    # ransac_inlier_distance / ransac_min_inliers)
+    line_inlier_dist: float = 0.08
+    line_min_inliers: int = 4
+    # dynamic-converter tracker parameters (parity: CostmapToDynamicObstacles)
+    tracker_gate_dist: float = 0.6
+    tracker_vel_alpha: float = 0.5
+
+    def __post_init__(self):
+        if self.costmap_converter not in ("points", "polygons", "lines", "dynamic"):
+            raise ValueError(
+                f"unknown costmap_converter {self.costmap_converter!r}; "
+                "options: points, polygons, lines, dynamic"
+            )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -180,8 +212,18 @@ class SolverNs:
         return SolverSettings.for_spec(spec, **over)
 
     def warm_settings(self, spec: OcpSpec) -> SolverSettings:
-        """Per-cycle budget once a warm start exists (measured preset:
-        2 AL phases × 3 SQP iterations, 8-candidate line search)."""
+        """Per-cycle budget once a warm start exists.
+
+        Default 2 AL phases × 4 SQP iterations with the 8-candidate line
+        search. This deliberately differs from bench.py's 2×3 fleet
+        operating point (the converged-solves/s frontier max at batch 4096;
+        BENCH_NOTES.md): measured on the carlike N=50 min-time closed loop,
+        2×3 stalls short of the goal (feasibility vetoes from cycle ~107 on)
+        while 2×4 reaches it in 45 cycles — single-robot serving has a
+        100 ms cycle budget and 8 warm iterations fit it easily, so the
+        planner buys per-cycle convergence; the fleet bench's continue
+        policy absorbs non-convergence across cycles instead.
+        """
         base = self.settings(spec)
         import dataclasses as _dc
 
@@ -258,6 +300,7 @@ class PlannerConfig:
             footprint=self.footprint_model.footprint(),
             N=g.grid_size_ref,
             collocation=g.collocation_method,
+            cost_integration=g.cost_integration_method,
             objective=p.objective_type,
             q_diag=tuple(p.state_weights),
             r_diag=tuple(p.control_weights),
@@ -275,10 +318,13 @@ class PlannerConfig:
             min_obstacle_dist=c.min_obstacle_dist,
             obstacle_cap=c.obstacle_capacity
             + c.circle_capacity
-            + (c.polygon_capacity if c.costmap_converter == "polygons" else 0),
+            + (c.polygon_capacity if c.costmap_converter == "polygons" else 0)
+            + (c.line_capacity if c.costmap_converter == "lines" else 0)
+            + (c.dynamic_capacity if c.costmap_converter == "dynamic" else 0),
             via_cap=self.via_capacity,
             via_position_weight=p.via_points_position_weight,
             via_orientation_weight=p.via_points_orientation_weight,
+            via_points_ordered=p.via_points_ordered,
             enable_dynamic_obstacles=c.enable_dynamic_obstacles,
         )
 
@@ -340,6 +386,8 @@ def _flatten_reference_style(ns: str, d: Dict[str, Any]) -> Dict[str, Any]:
                     out["via_points_position_weight"] = vp["position_weight"]
                 if "orientation_weight" in vp:
                     out["via_points_orientation_weight"] = vp["orientation_weight"]
+                if "via_points_ordered" in vp:
+                    out["via_points_ordered"] = vp["via_points_ordered"]
             elif k == "terminal_cost" and isinstance(v, dict):
                 out["terminal_cost_type"] = v.get("type", "none")
                 q = v.get("quadratic", {})

@@ -71,6 +71,7 @@ class Controller:
         self._last_goal: Optional[jax.Array] = None
         self._last_ok = None
         self._last_diverged = None
+        self._steps_since_reinit = 0
 
         def mk(settings):
             def _solve(scenario, init, duals):
@@ -91,6 +92,7 @@ class Controller:
         self._last_goal = None
         self._last_ok = None
         self._last_diverged = None
+        self._steps_since_reinit = 0
 
     def _fresh_duals(self):
         d = init_duals(self.spec, self.settings, dtype=self.dtype)
@@ -101,8 +103,14 @@ class Controller:
         return d
 
     def _needs_reinit(self, goal) -> bool:
-        """True when no warm state exists yet (full cold solve)."""
-        return self._primal is None or self._last_goal is None
+        """True when no warm state exists yet (full cold solve), or the
+        periodic forced reinitialization is due (parity:
+        force_reinit_num_steps — drop the warm start every K cycles to shed
+        accumulated warm-start drift; 0 disables)."""
+        if self._primal is None or self._last_goal is None:
+            return True
+        k = self.config.controller.force_reinit_num_steps
+        return bool(k > 0 and self._steps_since_reinit >= k)
 
     def _goal_changed_mask(self, goal):
         """Per-scenario goal-change mask (parity: force_reinit_new_goal_dist /
@@ -181,6 +189,7 @@ class Controller:
 
         result = (self._solve if cold else self._solve_warm)(scenario, init, duals)
 
+        self._steps_since_reinit = 0 if cold else self._steps_since_reinit + 1
         self._primal, self._duals = result.primal, result.duals
         self._last_ok = result.converged
         self._last_diverged = jnp.logical_or(

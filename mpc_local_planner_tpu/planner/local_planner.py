@@ -130,12 +130,15 @@ def costmap_to_obstacle_points(
     behind_dist: float = 1.5,
     cutoff_dist: float = 2.5,
     threshold: int = LETHAL_OBSTACLE,
+    force_inclusion_dist: float = 0.0,
 ) -> np.ndarray:
     """Extract lethal cells as point obstacles around the robot.
 
     Parity: MpcLocalPlannerROS::updateObstacleContainerWithCostmap — scans
     the local costmap, keeps lethal cells in front (or within behind_dist
-    behind) of the robot and within cutoff_dist. Returns (M, 2) world points.
+    behind) of the robot and within cutoff_dist; cells within
+    force_inclusion_dist bypass the direction filter entirely. Returns
+    (M, 2) world points.
     """
     ys, xs = np.nonzero(costmap.data >= threshold)
     if xs.size == 0:
@@ -147,8 +150,160 @@ def costmap_to_obstacle_points(
     dist = np.linalg.norm(rel, axis=1)
     heading = np.array([np.cos(p[2]), np.sin(p[2])])
     forward = rel @ heading
-    keep = (dist <= cutoff_dist) & ((forward >= 0.0) | (dist <= behind_dist))
+    keep = (dist <= cutoff_dist) & (
+        (forward >= 0.0)
+        | (dist <= behind_dist)
+        | (dist <= force_inclusion_dist)
+    )
     return np.stack([wx[keep], wy[keep]], axis=1)
+
+
+def _cluster_cells(costmap: Costmap, threshold: int, min_cluster: int):
+    """8-connected clustering of lethal cells → list of (K, 2) world points.
+
+    Parity: the DBSCAN front end shared by the costmap_converter plugins
+    (python fallback of native cluster_cells)."""
+    from scipy import ndimage
+
+    lab, n = ndimage.label(
+        costmap.data >= threshold, structure=np.ones((3, 3), dtype=int)
+    )
+    out = []
+    for i in range(1, n + 1):
+        ys, xs = np.nonzero(lab == i)
+        if xs.size >= min_cluster:
+            out.append(
+                np.stack(
+                    [
+                        costmap.origin[0] + (xs + 0.5) * costmap.resolution,
+                        costmap.origin[1] + (ys + 0.5) * costmap.resolution,
+                    ],
+                    axis=1,
+                )
+            )
+    return out
+
+
+def _line_point_dist(a, b, pts):
+    v = b - a
+    L = np.linalg.norm(v)
+    if L < 1e-12:
+        return np.linalg.norm(pts - a[None], axis=1)
+    return np.abs(v[0] * (pts[:, 1] - a[1]) - v[1] * (pts[:, 0] - a[0])) / L
+
+
+def extract_line_segments(
+    costmap: Costmap,
+    threshold: int = LETHAL_OBSTACLE,
+    min_cluster: int = 2,
+    inlier_dist: float = 0.08,
+    min_inliers: int = 4,
+    max_out: int = 64,
+) -> np.ndarray:
+    """Line-segment obstacles via per-cluster dominant-line extraction.
+
+    Parity: costmap_converter :: CostmapToLinesDBSRANSAC (DBSCAN clusters +
+    RANSAC line fits); deterministic hull-pair scoring replaces the random
+    sampling. Python fallback of native mpc_costmap_extract_lines.
+    Returns (L, 2, 2) segment endpoints.
+    """
+    from scipy.spatial import ConvexHull
+
+    segs = []
+    for cells in _cluster_cells(costmap, threshold, min_cluster):
+        used = np.zeros(cells.shape[0], dtype=bool)
+        while (~used).sum() >= min_inliers and len(segs) < max_out:
+            rem = cells[~used]
+            if rem.shape[0] >= 3:
+                try:
+                    hull = rem[ConvexHull(rem).vertices]
+                except Exception:  # degenerate (collinear) clusters
+                    hull = rem
+            else:
+                hull = rem
+            best_cnt, best_ab = -1, None
+            for i in range(hull.shape[0]):
+                for j in range(i + 1, hull.shape[0]):
+                    cnt = int(
+                        (_line_point_dist(hull[i], hull[j], rem) <= inlier_dist).sum()
+                    )
+                    if cnt > best_cnt:
+                        best_cnt, best_ab = cnt, (hull[i], hull[j])
+            if best_cnt < min_inliers or best_ab is None:
+                break
+            a, b = best_ab
+            v = b - a
+            L = np.linalg.norm(v)
+            if L < 1e-12:
+                break
+            v = v / L
+            d = _line_point_dist(a, b, cells)
+            inl = (~used) & (d <= inlier_dist)
+            t = (cells[inl] - a[None]) @ v
+            segs.append(
+                np.stack([a + t.min() * v, a + t.max() * v], axis=0)
+            )
+            used |= inl
+    return (
+        np.asarray(segs) if segs else np.zeros((0, 2, 2))
+    )
+
+
+def cluster_centroids(
+    costmap: Costmap,
+    threshold: int = LETHAL_OBSTACLE,
+    min_cluster: int = 2,
+    max_out: int = 64,
+) -> np.ndarray:
+    """Blob detection: per-cluster (cx, cy, bounding radius).
+
+    Parity: the blob front end of CostmapToDynamicObstacles (python fallback
+    of native mpc_costmap_cluster_centroids)."""
+    out = []
+    for cells in _cluster_cells(costmap, threshold, min_cluster)[:max_out]:
+        c = cells.mean(axis=0)
+        r = float(np.max(np.linalg.norm(cells - c[None], axis=1)))
+        out.append([c[0], c[1], r + 0.5 * costmap.resolution])
+    return np.asarray(out) if out else np.zeros((0, 3))
+
+
+def tracker_update(
+    prev_tracks: np.ndarray,
+    centroids: np.ndarray,
+    dt: float,
+    gate_dist: float = 0.6,
+    vel_alpha: float = 0.5,
+    next_id: int = 0,
+    max_out: int = 64,
+):
+    """Greedy nearest-neighbor blob tracker with exponential velocity
+    smoothing. Tracks: rows (id, x, y, vx, vy, age). Parity:
+    CostmapToDynamicObstacles velocity estimation (python fallback of native
+    mpc_tracker_update). Returns (tracks, next_id)."""
+    prev = np.asarray(prev_tracks, dtype=np.float64).reshape(-1, 6)
+    cur = np.asarray(centroids, dtype=np.float64).reshape(-1, 2)
+    used = np.zeros(prev.shape[0], dtype=bool)
+    rows = []
+    for c in cur[:max_out]:
+        best, best_d = -1, gate_dist
+        for p in range(prev.shape[0]):
+            if used[p]:
+                continue
+            d = float(np.linalg.norm(c - prev[p, 1:3]))
+            if d < best_d:
+                best, best_d = p, d
+        if best >= 0 and dt > 1e-9:
+            used[best] = True
+            mv = (c - prev[best, 1:3]) / dt
+            v = vel_alpha * mv + (1.0 - vel_alpha) * prev[best, 3:5]
+            rows.append([prev[best, 0], c[0], c[1], v[0], v[1], prev[best, 5] + 1])
+        else:
+            rows.append([next_id, c[0], c[1], 0.0, 0.0, 0.0])
+            next_id += 1
+    return (
+        np.asarray(rows) if rows else np.zeros((0, 6)),
+        next_id,
+    )
 
 
 def footprint_cost(
@@ -227,6 +382,10 @@ class LocalPlanner:
         #: last OptimalControlResult when controller.publish_ocp_results is
         #: set (parity: the "mpc/ocp_result" topic)
         self.last_ocp_result = None
+        # dynamic-obstacle tracker state (costmap_converter == "dynamic";
+        # persists across plans — map obstacles outlive any one goal)
+        self._tracks = np.zeros((0, 6))
+        self._next_track_id = 0
 
     def set_plan(self, plan: np.ndarray) -> None:
         """Parity: MpcLocalPlannerROS::setPlan."""
@@ -284,18 +443,23 @@ class LocalPlanner:
         if c.global_plan_overwrite_orientation:
             goal[2] = estimate_local_goal_orientation(local)
 
-        # obstacles: costmap cells (points or converter polygons) + custom
-        # circles, padded to the static capacities the solver was compiled
-        # for (native C++ scan/clustering when built — see native/costmap.cpp)
+        # obstacles: costmap cells via the configured converter mode
+        # (points / polygons / lines / dynamic) + custom circles, padded to
+        # the static capacities the solver was compiled for (native C++
+        # scan/clustering/tracking when built — see native/costmap.cpp)
         from mpc_local_planner_tpu import native
 
+        mode = col.costmap_converter
         pts = np.zeros((0, 2))
         polys: list = []
-        poly_cap = (
-            col.polygon_capacity if col.costmap_converter == "polygons" else 0
-        )
+        line_segs = np.zeros((0, 2, 2))
+        dyn_circles: list = []
+        dyn_vels: list = []
+        poly_cap = col.polygon_capacity if mode == "polygons" else 0
+        line_cap = col.line_capacity if mode == "lines" else 0
+        dyn_cap = col.dynamic_capacity if mode == "dynamic" else 0
         if costmap is not None and col.include_costmap_obstacles:
-            if poly_cap and native.available():
+            if mode == "polygons" and native.available():
                 raw = native.extract_polygons(
                     costmap,
                     max_polys=col.polygon_capacity,
@@ -311,27 +475,62 @@ class LocalPlanner:
                         ).astype(int)
                         hull = hull[idx]
                     polys.append(hull)
-            elif native.available():
-                pts = native.extract_points(
-                    costmap, pose, col.costmap_obstacles_behind_robot_dist,
-                    col.cutoff_dist,
+            elif mode == "lines":
+                fn = native.extract_lines if native.available() else extract_line_segments
+                line_segs = fn(
+                    costmap,
+                    inlier_dist=col.line_inlier_dist,
+                    min_inliers=col.line_min_inliers,
+                    max_out=col.line_capacity,
                 )
-            else:
-                pts = costmap_to_obstacle_points(
+            elif mode == "dynamic":
+                fn = (
+                    native.cluster_centroids
+                    if native.available()
+                    else cluster_centroids
+                )
+                cen = fn(costmap, max_out=col.dynamic_capacity)
+                upd = (
+                    native.tracker_update if native.available() else tracker_update
+                )
+                self._tracks, self._next_track_id = upd(
+                    self._tracks, cen[:, :2] if cen.size else np.zeros((0, 2)),
+                    dt=self.config.grid.dt_ref,
+                    gate_dist=col.tracker_gate_dist,
+                    vel_alpha=col.tracker_vel_alpha,
+                    next_id=self._next_track_id,
+                    max_out=col.dynamic_capacity,
+                )
+                # tracker rows correspond 1:1 (in order) to the centroids fed
+                for row, cc in zip(self._tracks, cen):
+                    dyn_circles.append((row[1], row[2], cc[2]))
+                    dyn_vels.append((row[3], row[4]))
+            else:  # "points"
+                fn = (
+                    native.extract_points
+                    if native.available()
+                    else costmap_to_obstacle_points
+                )
+                pts = fn(
                     costmap, pose, col.costmap_obstacles_behind_robot_dist,
                     col.cutoff_dist,
+                    force_inclusion_dist=col.force_inclusion_dist,
                 )
         cap = col.obstacle_capacity
         if pts.shape[0] > cap:
             # keep the nearest cap points (parity: cutoff radius then nearest)
             d = np.linalg.norm(pts - pose[None, :2], axis=1)
             pts = pts[np.argsort(d)[:cap]]
-        circles = list(extra_obstacles)[: col.circle_capacity] if extra_obstacles else []
+        extras = list(extra_obstacles)[: col.circle_capacity] if extra_obstacles else []
+        circles = extras + dyn_circles[:dyn_cap]
+        circle_vels = [(0.0, 0.0)] * len(extras) + dyn_vels[:dyn_cap]
         obs = ObstacleSet.from_lists(
             points=list(pts),
             circles=circles,
+            circle_vels=circle_vels if any(v != (0.0, 0.0) for v in circle_vels) else None,
+            lines=list(line_segs[:line_cap]),
             polygons=polys[:poly_cap] if poly_cap else None,
-            capacities=(cap, col.circle_capacity, 0, poly_cap),
+            capacities=(cap, col.circle_capacity + dyn_cap, line_cap, poly_cap),
             max_polygon_vertices=col.max_polygon_vertices,
         )
 
@@ -365,11 +564,13 @@ class LocalPlanner:
                 feasible = native.trajectory_feasible(
                     costmap, xs, footprint_radius=radius,
                     check_poses=col.collision_check_no_poses,
+                    min_resolution_angular=col.collision_check_min_resolution_angular,
                 )
             else:
                 feasible = is_pose_trajectory_feasible(
                     costmap, xs, footprint_radius=radius,
                     check_poses=col.collision_check_no_poses,
+                    min_resolution_angular=col.collision_check_min_resolution_angular,
                 )
             if not feasible:
                 self.controller.reset()

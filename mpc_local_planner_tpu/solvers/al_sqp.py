@@ -76,6 +76,12 @@ class SolverSettings:
     # regime (b≥4096: 1.7k vs 4.7k) — default off; enable for low-latency
     # single-robot serving. Identical solutions (tests/test_riccati_pscan.py).
     horizon_parallel: bool = False
+    # KKT backend: "auto" = the Pallas whole-sweep kernel under scenario
+    # vmap on TPU (measured ~1.5 ms vs ~15 ms for the vmapped XLA scan at
+    # batch 4096 / N=30 on v5e), XLA scan otherwise; "scan" forces the XLA
+    # scan; "pallas" forces the kernel dispatch wrapper; "pscan" = the
+    # horizon-parallel associative scan (same as horizon_parallel=True).
+    kkt: str = "auto"
 
     @staticmethod
     def for_spec(spec, **overrides) -> "SolverSettings":
@@ -180,6 +186,7 @@ def _phi(c, lam, rho):
 # --------------------------------------------------------------------------- #
 class StageData(NamedTuple):
     xref: jax.Array      # (3,) goal / quadratic reference
+    iw: jax.Array        # () state-term integration weight (trapezoidal: ½ at k=0)
     via_pts: jax.Array   # (Mv, 3)
     via_w: jax.Array     # (Mv,) assignment weight of each via point to this stage
     mu_obs: jax.Array    # (M,)
@@ -245,9 +252,15 @@ def _make_stage_fns(spec: OcpSpec):
             q = jnp.asarray(spec.q_diag, dtype)
             r = jnp.asarray(spec.r_diag, dtype)
             dx = se2_boxminus(x, data.xref)
-            c = jnp.sum(dx * dx * q) + jnp.sum(u * u * r)
+            x_term = jnp.sum(dx * dx * q)
+            u_term = jnp.sum(u * u * r)
             if spec.integral_form:
-                c = c * dt
+                # data.iw carries the integration-rule stage weight
+                # (left_sum: 1 everywhere; trapezoidal: ½ at k = 0 — see
+                # costs.quadratic_form_cost for the exact regrouping)
+                c = (data.iw * x_term + u_term) * dt
+            else:
+                c = x_term + u_term
             if spec.hybrid_time_weight > 0.0:
                 c = c + spec.hybrid_time_weight * dt
         else:  # minimum_time / minimum_time_via_points: Σ_k dt = N·dt
@@ -322,13 +335,21 @@ def _make_terminal_fns(spec: OcpSpec):
     nu = spec.nu
 
     def objective(w, data: TermData):
-        x = w[0:3]
+        x, dt = w[0:3], w[3 + nu]
         dtype = w.dtype
         dx = se2_boxminus(x, data.xref)
         c = jnp.asarray(0.0, dtype)
         if spec.qf_diag is not None:
             qf = jnp.asarray(spec.qf_diag, dtype)
             c = c + jnp.sum(dx * dx * qf)
+        if (
+            spec.objective == "quadratic_form"
+            and spec.integral_form
+            and spec.cost_integration == "trapezoidal"
+        ):
+            # the ½·dt·lx(x_N) tail of the trapezoidal regrouping
+            q = jnp.asarray(spec.q_diag, dtype)
+            c = c + 0.5 * dt * jnp.sum(dx * dx * q)
         return c + _via_term(spec, x, data.via_pts, data.via_w)
 
     def constraints_vec(w, data: TermData):
@@ -410,17 +431,19 @@ def _stage_obstacles(spec, scenario, dt, n):
 
 
 def _via_weights(spec, xs, scenario):
-    """One-hot nearest-stage assignment of via points, (N+1, Mv).
+    """One-hot stage assignment of via points, (N+1, Mv).
 
     Piecewise-constant in xs: recomputed each SQP iteration, not AD'd
-    (parity: MinTimeViaPointsCost's discrete stage association).
+    (parity: MinTimeViaPointsCost's discrete stage association). Honors
+    ``spec.via_points_ordered`` (monotone cumulative-argmin assignment).
     """
     if spec.via_cap == 0:
         return jnp.zeros((spec.N + 1, 0), dtype=xs.dtype)
-    d2 = jnp.sum(
-        (xs[None, :, :2] - scenario.via_points[:, None, :2]) ** 2, axis=-1
-    )  # (Mv, N+1)
-    k_near = jnp.argmin(d2, axis=-1)  # (Mv,)
+    from mpc_local_planner_tpu.ocp.costs import via_stage_assignment
+
+    k_near = via_stage_assignment(
+        spec, xs, scenario.via_points, scenario.via_mask
+    )  # (Mv,)
     onehot = jax.nn.one_hot(k_near, spec.N + 1, dtype=xs.dtype)  # (Mv, N+1)
     return (onehot * scenario.via_mask[:, None].astype(xs.dtype)).T
 
@@ -494,8 +517,13 @@ def _sqp_iteration(
         [jnp.zeros((1, M), dtype), duals.mu_obs[: N - 1]], axis=0
     )
     obs_on = jnp.concatenate([jnp.zeros((1,), dtype), jnp.ones((N - 1,), dtype)])
+    if spec.integral_form and spec.cost_integration == "trapezoidal":
+        iw = jnp.where(jnp.arange(N) == 0, 0.5, 1.0).astype(dtype)
+    else:
+        iw = jnp.ones((N,), dtype)
     sdata = StageData(
         xref=jnp.broadcast_to(scenario.xf, (N, nx)),
+        iw=iw,
         via_pts=jnp.broadcast_to(scenario.via_points, (N,) + scenario.via_points.shape),
         via_w=via_w[:N],
         mu_obs=mu_obs_stage,
@@ -544,14 +572,21 @@ def _sqp_iteration(
     PN = jax.hessian(term_hess)(wN, tdata, duals.rho, gT0, awT)
 
     # ---- structured KKT solve ------------------------------------------- #
-    if settings.horizon_parallel:
+    kkt = "pscan" if settings.horizon_parallel else settings.kkt
+    if kkt == "pscan":
         from mpc_local_planner_tpu.solvers.riccati_pscan import lqr_solve_pscan
 
         step = lqr_solve_pscan(
             Fz, Gz, rz, Hzz, Hzu, Huu, hz, hu, PN, pN, reg,
             nx=nx, free_tau=spec.variable_dt,
         )
-    else:
+    elif kkt in ("auto", "pallas"):
+        from mpc_local_planner_tpu.ops.riccati_pallas import make_lqr_solve_auto
+
+        step = make_lqr_solve_auto(nx=nx, free_tau=spec.variable_dt)(
+            Fz, Gz, rz, Hzz, Hzu, Huu, hz, hu, PN, pN, reg
+        )
+    else:  # "scan"
         step = lqr_solve(
             Fz, Gz, rz, Hzz, Hzu, Huu, hz, hu, PN, pN, reg,
             nx=nx, free_tau=spec.variable_dt,

@@ -22,7 +22,10 @@ def main():
 
     from mpc_local_planner_tpu.planner import LocalPlanner, load_config
     from mpc_local_planner_tpu.planner.local_planner import Costmap
+    from mpc_local_planner_tpu.utils.compilation_cache import enable_persistent_cache
     from mpc_local_planner_tpu.utils.publisher import Publisher
+
+    enable_persistent_cache()
 
     cfg = load_config(cfg_path)
     lp = LocalPlanner(cfg)

@@ -159,3 +159,85 @@ def warm_start_resample(primal: Primal, x0, steps: int = 1, spec=None) -> Primal
     dt_min = 1e-3 if spec is None else max(spec.dt_min, 1e-3)
     dt = jnp.maximum(primal.dt * (N - steps) / N, dt_min)
     return Primal(xs=xs, us=us, dt=dt)
+
+
+# --------------------------------------------------------------------------- #
+# grid adaptation (variable horizon N)
+# --------------------------------------------------------------------------- #
+def adapt_grid_size(dt: float, N: int, *, dt_ref: float, dt_hyst_ratio: float,
+                    min_grid_size: int, max_grid_size: int) -> int:
+    """Time-based single-step grid adaptation decision.
+
+    Parity: ``cbr:optimal_control/.../finite_differences_variable_grid.cpp ::
+    FiniteDifferencesVariableGrid::adaptGrid`` (GridAdaptStrategy::
+    TimeBasedSingleStep, the mode ``mpc_local_planner``'s
+    FiniteDifferencesVariableGridSE2 exposes via the
+    ``grid.variable_grid.grid_adaptation`` namespace): after a solve, if the
+    optimized dt exceeds dt_ref by more than the hysteresis ratio the horizon
+    grows by one stage; if it undershoots by more than the ratio it shrinks
+    by one. The hysteresis band prevents N from oscillating when dt* ≈ dt_ref.
+
+    TPU-first: this is a *host-side* decision between compiled solves — each
+    distinct N is its own fixed-shape jitted program (cached per N by the
+    Controller), and the stored primal/duals are resampled onto the new grid
+    by :func:`resize_primal` / :func:`resize_duals`.
+    """
+    if dt > dt_ref * (1.0 + dt_hyst_ratio) and N < max_grid_size:
+        return N + 1
+    if dt < dt_ref * (1.0 - dt_hyst_ratio) and N > min_grid_size:
+        return N - 1
+    return N
+
+
+def resize_primal(primal: Primal, new_N: int, spec=None) -> Primal:
+    """Resample the trajectory onto a ``new_N``-stage grid, preserving the
+    total horizon time T = N·dt (so dt' = dt·N/N').
+
+    Parity: FiniteDifferencesVariableGridSE2 grid resizing — the reference
+    inserts/erases vertices near the end; we SE(2)-interpolate the whole
+    state path onto the new uniform grid (shortest-arc angle blending) and
+    nearest-stage-sample the controls, which is equivalent up to the warm
+    start the next solve refines anyway.
+    """
+    N = primal.n_stages
+    if new_N == N:
+        return primal
+    dtype = primal.xs.dtype
+    from mpc_local_planner_tpu.core.so2 import normalize_angle, se2_boxminus
+
+    pos = jnp.arange(new_N + 1, dtype=dtype) * (N / new_N)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, N - 1)
+    frac = (pos - i0.astype(dtype))[:, None]  # (new_N+1, 1), broadcasts over batch
+    xa = jnp.take(primal.xs, i0, axis=-2)
+    xb = jnp.take(primal.xs, i0 + 1, axis=-2)
+    xs = xa + frac * se2_boxminus(xb, xa)
+    xs = xs.at[..., 2].set(normalize_angle(xs[..., 2]))
+    iu = jnp.clip(
+        jnp.round(jnp.arange(new_N, dtype=dtype) * (N / new_N)).astype(jnp.int32),
+        0, N - 1,
+    )
+    us = jnp.take(primal.us, iu, axis=-2)
+    dt = primal.dt * (N / new_N)
+    if spec is not None:
+        dt = jnp.clip(dt, max(spec.dt_min, 1e-3), spec.dt_max)
+    return Primal(xs=xs, us=us, dt=dt)
+
+
+def resize_duals(duals, new_N: int):
+    """Nearest-stage resample of the stage-indexed AL multipliers onto a
+    ``new_N``-stage grid (the dual-side counterpart of :func:`resize_primal`;
+    scalars — terminal/dt/ball multipliers and ρ — carry over unchanged)."""
+    N = duals.lam_def.shape[-2]
+    if new_N == N:
+        return duals
+    idx = jnp.clip(
+        jnp.round(jnp.arange(new_N) * (N / new_N)).astype(jnp.int32), 0, N - 1
+    )
+    rs = lambda a: jnp.take(a, idx, axis=-2)  # noqa: E731
+    return dataclasses.replace(
+        duals,
+        lam_def=rs(duals.lam_def),
+        mu_obs=rs(duals.mu_obs),
+        mu_rate=rs(duals.mu_rate),
+        mu_box=rs(duals.mu_box),
+    )

@@ -98,6 +98,9 @@ class GridNs:
     grid_adaptation_enable: bool = False
     grid_adaptation_max_grid_size: int = 50
     grid_adaptation_min_grid_size: int = 2
+    # hysteresis band around dt_ref before N changes (parity:
+    # grid.variable_grid.grid_adaptation.dt_hyst_ratio)
+    grid_adaptation_dt_hyst_ratio: float = 0.1
 
 
 @dataclasses.dataclass(frozen=True)

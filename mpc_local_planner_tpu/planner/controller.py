@@ -24,8 +24,11 @@ from mpc_local_planner_tpu.core.so2 import angle_diff
 from mpc_local_planner_tpu.core.time_series import TimeSeries, TimeSeriesSE2
 from mpc_local_planner_tpu.ocp.grid import (
     Primal,
+    adapt_grid_size,
     initial_primal,
     primal_from_plan,
+    resize_duals,
+    resize_primal,
     warm_start_resample,
     warm_start_shift,
 )
@@ -72,17 +75,76 @@ class Controller:
         self._last_ok = None
         self._last_diverged = None
         self._steps_since_reinit = 0
+        # grid adaptation (parity: grid.variable_grid.grid_adaptation.*):
+        # the live spec tracks the current horizon N; each distinct N gets
+        # its own cached compiled solve (host-side N ladder — SURVEY §8).
+        self._spec = self.spec
+        self._cache = {}
+        g = config.grid
+        self._adapt = bool(g.grid_adaptation_enable)
+        if self._adapt and batch is not None:
+            raise ValueError(
+                "grid_adaptation.enable is single-robot only: N is a "
+                "compile-time shape shared by the whole batch, but adaptation "
+                "is driven by each scenario's optimized dt"
+            )
+        if self._adapt and not self.spec.variable_dt:
+            raise ValueError(
+                "grid_adaptation.enable requires variable_grid.enable: "
+                "adaptation steers the optimized dt toward dt_ref by resizing "
+                "N, which is meaningless with a fixed dt"
+            )
+        if self._adapt and not (
+            g.grid_adaptation_min_grid_size
+            <= self.spec.N
+            <= g.grid_adaptation_max_grid_size
+        ):
+            raise ValueError(
+                f"grid_size_ref={self.spec.N} outside grid_adaptation bounds "
+                f"[{g.grid_adaptation_min_grid_size}, "
+                f"{g.grid_adaptation_max_grid_size}]"
+            )
 
-        def mk(settings):
+    def _solver_fn(self, warm: bool):
+        """Compiled batched solve for the *current* spec (cached per (N, warm))."""
+        settings = self.warm_settings if warm else self.settings
+        if settings == self.settings:
+            warm = False  # share the cache slot when the budgets coincide
+        key = (self._spec.N, warm)
+        fn = self._cache.get(key)
+        if fn is None:
+            spec = self._spec
+
             def _solve(scenario, init, duals):
-                return solve_single(self.spec, settings, scenario, init, duals)
+                return solve_single(spec, settings, scenario, init, duals)
 
-            return jax.jit(jax.vmap(_solve) if batch is not None else _solve)
+            fn = jax.jit(jax.vmap(_solve) if self.batch is not None else _solve)
+            self._cache[key] = fn
+        return fn
 
-        self._solve = mk(self.settings)
-        self._solve_warm = (
-            self._solve if self.warm_settings == self.settings else mk(self.warm_settings)
+    def _adapt_grid(self):
+        """Time-based single-step horizon adaptation between cycles.
+
+        Parity: ``mpc_local_planner/optimal_control/
+        finite_differences_variable_grid_se2.h ::
+        FiniteDifferencesVariableGridSE2`` (grid_adaptation mode
+        TimeBasedSingleStep): grow/shrink N by one stage when the optimized
+        dt drifts out of the hysteresis band around dt_ref, then carry the
+        warm start (primal + stage duals) onto the new grid. Host-side: the
+        new N dispatches to its own cached compiled solve (_solver_fn).
+        """
+        new_N = adapt_grid_size(
+            float(self._primal.dt),
+            self._spec.N,
+            dt_ref=self._spec.dt_ref,
+            dt_hyst_ratio=self.config.grid.grid_adaptation_dt_hyst_ratio,
+            min_grid_size=self.config.grid.grid_adaptation_min_grid_size,
+            max_grid_size=self.config.grid.grid_adaptation_max_grid_size,
         )
+        if new_N != self._spec.N:
+            self._primal = resize_primal(self._primal, new_N, spec=self._spec)
+            self._duals = resize_duals(self._duals, new_N)
+            self._spec = dataclasses.replace(self.spec, N=new_N)
 
     # -- warm-start policy ------------------------------------------------ #
     def reset(self):
@@ -93,9 +155,10 @@ class Controller:
         self._last_ok = None
         self._last_diverged = None
         self._steps_since_reinit = 0
+        self._spec = self.spec
 
     def _fresh_duals(self):
-        d = init_duals(self.spec, self.settings, dtype=self.dtype)
+        d = init_duals(self._spec, self.settings, dtype=self.dtype)
         if self.batch is not None:
             d = jax.tree_util.tree_map(
                 lambda a: jnp.broadcast_to(a, (self.batch,) + a.shape), d
@@ -145,17 +208,20 @@ class Controller:
         if elapsed is not None and self.batch is None and self._primal is not None:
             dt_prev = float(self._primal.dt)
             shift_steps = int(
-                min(max(round(elapsed / max(dt_prev, 1e-6)), 1), self.spec.N // 2)
+                min(max(round(elapsed / max(dt_prev, 1e-6)), 1), self._spec.N // 2)
             )
         goal = scenario.xf
         cold = self._needs_reinit(goal)
         if cold:
+            self._spec = self.spec  # grid re-initializes at grid_size_ref
             if plan is not None and self.config.grid.warm_start:
-                init = primal_from_plan(self.spec, plan, scenario.x0)
+                init = primal_from_plan(self._spec, plan, scenario.x0)
             else:
-                init = initial_primal(self.spec, scenario)
+                init = initial_primal(self._spec, scenario)
             duals = self._fresh_duals()
         else:
+            if self._adapt:
+                self._adapt_grid()
             # warm-start policy (validated in benchmarks): converged
             # scenarios advance (resample for shrinking-horizon min-time,
             # shift otherwise) with stage-shifted duals; unconverged-but-sane
@@ -165,13 +231,13 @@ class Controller:
             changed = self._goal_changed_mask(goal)
             ok = jnp.logical_and(self._last_ok, ~changed)
             diverged = jnp.logical_or(self._last_diverged, changed)
-            if self.spec.min_time and self.spec.variable_dt:
+            if self._spec.min_time and self._spec.variable_dt:
                 advanced = warm_start_resample(
-                    self._primal, scenario.x0, steps=shift_steps, spec=self.spec
+                    self._primal, scenario.x0, steps=shift_steps, spec=self._spec
                 )
             else:
                 advanced = warm_start_shift(
-                    self._primal, scenario.x0, steps=shift_steps, spec=self.spec
+                    self._primal, scenario.x0, steps=shift_steps, spec=self._spec
                 )
             adv_duals = shift_duals(self._duals, self.settings, steps=shift_steps)
             sel = lambda m, a, b: jax.tree_util.tree_map(  # noqa: E731
@@ -183,11 +249,11 @@ class Controller:
             )
             init = sel(ok, advanced, self._primal)
             duals = sel(ok, adv_duals, self._duals)
-            fresh_p = initial_primal(self.spec, scenario)
+            fresh_p = initial_primal(self._spec, scenario)
             init = sel(diverged, fresh_p, init)
             duals = sel(diverged, self._fresh_duals(), duals)
 
-        result = (self._solve if cold else self._solve_warm)(scenario, init, duals)
+        result = self._solver_fn(warm=not cold)(scenario, init, duals)
 
         self._steps_since_reinit = 0 if cold else self._steps_since_reinit + 1
         self._primal, self._duals = result.primal, result.duals
@@ -204,7 +270,7 @@ class Controller:
         u0 = jnp.clip(u0, jnp.asarray(lo, u0.dtype), jnp.asarray(hi, u0.dtype))
         twist = self.spec.model.twist_from_control(result.primal.xs[..., 0, :], u0)
 
-        times = jnp.arange(self.spec.N + 1, dtype=u0.dtype) * result.primal.dt[..., None]
+        times = jnp.arange(self._spec.N + 1, dtype=u0.dtype) * result.primal.dt[..., None]
         x_seq = TimeSeriesSE2(times=times, values=result.primal.xs)
         u_seq = TimeSeries(times=times[..., :-1], values=result.primal.us)
         return ControlResult(u0=u0, twist=twist, x_seq=x_seq, u_seq=u_seq, solve=result)

@@ -230,6 +230,25 @@ class SolverNs:
         base = self.settings(spec)
         import dataclasses as _dc
 
+        if self.type == "lsq_lm":
+            # LM soft penalties leave an O(1/w) feasibility bias — warm
+            # cycles must KEEP the weights stiff, not restart them at a
+            # line-search-friendly rho0 (measured: rho0=50 with 2 growth
+            # steps plateaus the defect bias at ~2e-2 and the closed loop
+            # parks short of the goal; starting warm cycles at 1e4 → final
+            # weight 1e6 drives the bias to ~1e-5). LM iterations are cheap
+            # (one cho_solve, no candidate ladder) so the warm inner budget
+            # is deeper than the SQP default.
+            return _dc.replace(
+                base,
+                n_al=self.warm_iterations or 2,
+                n_sqp=self.warm_inner_iterations or 10,
+                rho0=max(self.rho0, 1.0e4),
+                rho_growth=self.rho_growth or 10.0,
+                rho_max=max(base.rho_max, 1.0e6),
+                tol_eq=self.tol_eq or 1e-3,
+                tol_ineq=self.tol_ineq or 1e-3,
+            )
         return _dc.replace(
             base,
             n_al=self.warm_iterations or 2,

@@ -62,6 +62,19 @@ class Controller:
     def __init__(self, config: PlannerConfig, batch: Optional[int] = None, dtype=jnp.float32):
         self.config = config
         self.spec = config.to_ocp_spec()
+        # solver backend dispatch (parity: the reference's solver plugin
+        # choice — ipopt vs levenberg_marquardt_dense; SURVEY §3.2)
+        if config.solver.type == "al_sqp":
+            self._solve_single = solve_single
+        elif config.solver.type == "lsq_lm":
+            from mpc_local_planner_tpu.solvers.lsq_lm import solve_single_lm
+
+            self._solve_single = solve_single_lm
+        else:
+            raise ValueError(
+                f"unknown solver.type {config.solver.type!r}; "
+                "options: al_sqp, lsq_lm"
+            )
         self.settings = config.solver_settings(self.spec)
         # warm-started cycles use a small iteration budget (parity: the
         # reference relies on warm starts + IPOPT iteration caps to hit the
@@ -114,9 +127,10 @@ class Controller:
         fn = self._cache.get(key)
         if fn is None:
             spec = self._spec
+            solve_one = self._solve_single
 
             def _solve(scenario, init, duals):
-                return solve_single(spec, settings, scenario, init, duals)
+                return solve_one(spec, settings, scenario, init, duals)
 
             fn = jax.jit(jax.vmap(_solve) if self.batch is not None else _solve)
             self._cache[key] = fn

@@ -86,9 +86,14 @@ def collocation_defects(model, method: str, xs, us, dt):
     """
     xk = xs[..., :-1, :]
     xk1 = xs[..., 1:, :]
+    dt = jnp.asarray(dt)
+    # dt is scalar-per-trajectory (ndim = xs.ndim − 2) or per-stage
+    # (..., N) on a non-uniform grid (ndim = xs.ndim − 1); both broadcast
+    # against the (..., N, 3) stage axis.
+    dt_b = dt[..., None] if dt.ndim == xs.ndim - 1 else dt[..., None, None]
     if method.startswith(SHOOTING_PREFIX):
-        pred = _shooting_pred(model, method, xk, us, jnp.asarray(dt)[..., None, None])
+        pred = _shooting_pred(model, method, xk, us, dt_b)
     else:
         phi = COLLOCATION_METHODS[method]
-        pred = xk + jnp.asarray(dt)[..., None, None] * phi(model, xk, us, xk1)
+        pred = xk + dt_b * phi(model, xk, us, xk1)
     return _wrap(pred - xk1)

@@ -34,14 +34,17 @@ def obstacle_inequalities(spec, xs, dt, scenario):
         return jnp.zeros(xs.shape[:-2] + (spec.N, 0), dtype=xs.dtype)
     poses = xs[..., 1:, :]  # (..., N, 3)
     if spec.enable_dynamic_obstacles:
-        # constant-velocity extrapolation to the stage times t_k = k·dt;
-        # dt stop-gradded — predicted positions are stage data, not
-        # decision-dependent (matches the reference's treatment).
+        # constant-velocity extrapolation to the stage times t_k = k·dt
+        # (cumulative Σ dt_j on a non-uniform grid); dt stop-gradded —
+        # predicted positions are stage data, not decision-dependent
+        # (matches the reference's treatment).
         import jax
 
-        t = jnp.arange(1, spec.N + 1, dtype=xs.dtype) * jax.lax.stop_gradient(
-            jnp.asarray(dt)
-        )
+        dt_sg = jax.lax.stop_gradient(jnp.asarray(dt))
+        if spec.nonuniform_dt:
+            t = jnp.cumsum(dt_sg, axis=-1)
+        else:
+            t = jnp.arange(1, spec.N + 1, dtype=xs.dtype) * dt_sg
         obs_k = scenario.obstacles.predict_stages(t)
         d = spec.footprint.distances(poses, obs_k)
     else:
@@ -69,7 +72,9 @@ def control_rate_inequalities(spec, us, dt, u_prev):
     hi = jnp.minimum(jnp.asarray(hi, dtype=us.dtype), BIG_DISTANCE)
     u_ext = jnp.concatenate([u_prev[..., None, :], us], axis=-2)
     du = u_ext[..., 1:, :] - u_ext[..., :-1, :]
-    dtb = jnp.asarray(dt)[..., None, None]
+    dt = jnp.asarray(dt)
+    # per-stage dt (..., N) broadcasts over the nu axis only; scalar dt over both
+    dtb = dt[..., None] if dt.ndim == us.ndim - 1 else dt[..., None, None]
     g_hi = du - hi * dtb
     g_lo = lo * dtb - du
     return jnp.concatenate([g_hi, g_lo], axis=-1)  # (..., N, 2*nu)
@@ -84,12 +89,20 @@ def control_box_inequalities(spec, us):
 
 
 def dt_inequalities(spec, dt, dtype):
-    """dt ∈ [dt_min, dt_max] when dt is a decision variable; else inactive."""
+    """dt ∈ [dt_min, dt_max] when dt is a decision variable; else inactive.
+
+    Returns (..., 2) for scalar dt, (..., 2·N) flattened for per-stage dt
+    (non-uniform grid: every interval owns its box — parity:
+    cbr NonUniformFiniteDifferencesVariableGrid per-vertex dt bounds).
+    """
     dt = jnp.asarray(dt, dtype=dtype)
     if not spec.variable_dt:
         z = jnp.full(dt.shape + (2,), -BIG_DISTANCE, dtype=dtype)
         return z
-    return jnp.stack([dt - spec.dt_max, spec.dt_min - dt], axis=-1)
+    g = jnp.stack([dt - spec.dt_max, spec.dt_min - dt], axis=-1)
+    if spec.nonuniform_dt:
+        return g.reshape(g.shape[:-2] + (-1,))
+    return g
 
 
 def terminal_ball_inequality(spec, xs, xf):

@@ -41,6 +41,13 @@ def quadratic_form_cost(spec, xs, us, dt, xref):
     x_term = jnp.sum(dx * dx * q, axis=-1)
     u_term = jnp.sum(us * us * r, axis=-1)
     if spec.integral_form and spec.cost_integration == "trapezoidal":
+        if spec.nonuniform_dt:
+            # non-uniform grid: Σ_k dt_k·½(lx_k + lx_{k+1}) + Σ_k dt_k·lu_k
+            # (reduces to the scalar regrouping below when dt_k ≡ dt)
+            dx_all = se2_boxminus(xs, xref[..., None, :])
+            lx = jnp.sum(dx_all * dx_all * q, axis=-1)
+            x_int = 0.5 * jnp.sum(dt * (lx[..., :-1] + lx[..., 1:]), axis=-1)
+            return x_int + jnp.sum(dt * u_term, axis=-1)
         w = jnp.ones(x_term.shape[-1], dtype=xs.dtype)
         w = jnp.where(jnp.arange(x_term.shape[-1]) == 0, 0.5, w)
         dxN = se2_boxminus(xs[..., -1, :], xref)
@@ -48,7 +55,7 @@ def quadratic_form_cost(spec, xs, us, dt, xref):
         return (jnp.sum(w * x_term + u_term, axis=-1) + tail) * dt
     term = x_term + u_term
     if spec.integral_form:
-        term = term * dt[..., None]
+        term = term * (dt if spec.nonuniform_dt else dt[..., None])
     return jnp.sum(term, axis=-1)
 
 
@@ -62,7 +69,10 @@ def quadratic_final_state_cost(spec, xs, xref):
 
 
 def minimum_time_cost(spec, dt):
-    """Σ_k dt = N · dt (parity: corbo MinimumTime over a uniform grid)."""
+    """Σ_k dt_k (parity: corbo MinimumTime) — N·dt on a uniform grid,
+    an actual per-stage sum on a non-uniform one."""
+    if spec.nonuniform_dt:
+        return jnp.sum(dt, axis=-1)
     return spec.N * dt
 
 

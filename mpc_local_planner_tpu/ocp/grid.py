@@ -53,7 +53,10 @@ def _seed_controls(spec, xs, dt):
     th = xs[..., :-1, 2]
     heading = jnp.stack([jnp.cos(th), jnp.sin(th)], axis=-1)
     disp = p[..., 1:, :] - p[..., :-1, :]
-    v = jnp.sum(disp * heading, axis=-1) / dt[..., None]
+    # dt: scalar-per-trajectory (...,) or per-stage (..., N); both divide the
+    # (..., N) per-stage displacement.
+    dtb = dt if dt.ndim == disp.ndim - 1 else dt[..., None]
+    v = jnp.sum(disp * heading, axis=-1) / dtb
     lo, hi = spec.control_box()
     v = jnp.clip(v, lo[0], hi[0]).astype(xs.dtype)
     us = jnp.zeros(xs.shape[:-2] + (spec.N, spec.nu), dtype=xs.dtype)
@@ -73,7 +76,8 @@ def initial_primal(spec, scenario) -> Primal:
         out_axes=-2,
     )(alphas)
     batch = scenario.x0.shape[:-1]
-    dt = jnp.full(batch, spec.dt_ref, dtype=scenario.x0.dtype)
+    dt_shape = batch + (spec.N,) if spec.nonuniform_dt else batch
+    dt = jnp.full(dt_shape, spec.dt_ref, dtype=scenario.x0.dtype)
     us = _seed_controls(spec, xs, dt)
     return Primal(xs=xs, us=us, dt=dt)
 
@@ -95,7 +99,8 @@ def primal_from_plan(spec, plan_xy_theta, x0, dt=None) -> Primal:
     xs = se2_interpolate(pa, pb, frac[..., None])
     xs = xs.at[..., 0, :].set(x0)
     batch = xs.shape[:-2]
-    dtv = jnp.full(batch, spec.dt_ref if dt is None else dt, dtype=xs.dtype)
+    dt_shape = batch + (spec.N,) if spec.nonuniform_dt else batch
+    dtv = jnp.full(dt_shape, spec.dt_ref if dt is None else dt, dtype=xs.dtype)
     us = _seed_controls(spec, xs, dtv)
     return Primal(xs=xs, us=us, dt=dtv)
 
@@ -117,17 +122,19 @@ def warm_start_shift(primal: Primal, x0, steps: int = 1, spec=None) -> Primal:
     ku = jnp.arange(N)
     src_u = jnp.minimum(ku + steps, N - 1)
     us = jnp.take(primal.us, src_u, axis=-2)
+    per_stage_dt = primal.dt.ndim == primal.us.ndim - 1
     if spec is not None and steps > 0:
         u_last = primal.us[..., -1, :]
         x_tail = primal.xs[..., -1, :]
-        dtb = primal.dt[..., None]
+        dtb = primal.dt[..., -1, None] if per_stage_dt else primal.dt[..., None]
         for s in range(steps):
             from mpc_local_planner_tpu.core.so2 import se2_boxplus
 
             x_tail = se2_boxplus(x_tail, dtb * spec.model.f(x_tail, u_last))
             xs = xs.at[..., N - steps + 1 + s, :].set(x_tail)
     xs = xs.at[..., 0, :].set(x0)
-    return Primal(xs=xs, us=us, dt=primal.dt)
+    dt = jnp.take(primal.dt, src_u, axis=-1) if per_stage_dt else primal.dt
+    return Primal(xs=xs, us=us, dt=dt)
 
 
 def warm_start_resample(primal: Primal, x0, steps: int = 1, spec=None) -> Primal:
@@ -157,7 +164,10 @@ def warm_start_resample(primal: Primal, x0, steps: int = 1, spec=None) -> Primal
     iu = jnp.clip(jnp.round(pos_u).astype(jnp.int32), 0, N - 1)
     us = jnp.take(primal.us, iu, axis=-2)
     dt_min = 1e-3 if spec is None else max(spec.dt_min, 1e-3)
-    dt = jnp.maximum(primal.dt * (N - steps) / N, dt_min)
+    dt = primal.dt
+    if dt.ndim == primal.us.ndim - 1:  # per-stage dt: resample like us
+        dt = jnp.take(dt, iu, axis=-1)
+    dt = jnp.maximum(dt * (N - steps) / N, dt_min)
     return Primal(xs=xs, us=us, dt=dt)
 
 

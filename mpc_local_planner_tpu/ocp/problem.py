@@ -72,14 +72,23 @@ class OcpFunctions:
         return self.spec.N * self.spec.nx + self.spec.nx
 
     @property
+    def n_dt(self) -> int:
+        """Number of dt decision variables (0 fixed / 1 uniform / N non-uniform)."""
+        s = self.spec
+        if not s.variable_dt:
+            return 0
+        return s.N if s.nonuniform_dt else 1
+
+    @property
     def n_ineq(self) -> int:
         s = self.spec
-        return s.N * s.obstacle_cap + s.N * 2 * s.nu + s.N * 2 * s.nu + 2 + 1
+        n_dt_box = 2 * s.N if s.nonuniform_dt else 2
+        return s.N * s.obstacle_cap + s.N * 2 * s.nu + s.N * 2 * s.nu + n_dt_box + 1
 
     @property
     def n_free(self) -> int:
         s = self.spec
-        return s.N * s.nx + s.N * s.nu + (1 if s.variable_dt else 0)
+        return s.N * s.nx + s.N * s.nu + self.n_dt
 
     # ---- flat packing for the golden solver ----------------------------- #
     def flatten(self, primal: Primal) -> jax.Array:
@@ -89,7 +98,7 @@ class OcpFunctions:
             primal.us.reshape(primal.us.shape[:-2] + (-1,)),
         ]
         if s.variable_dt:
-            parts.append(primal.dt[..., None])
+            parts.append(primal.dt if s.nonuniform_dt else primal.dt[..., None])
         return jnp.concatenate(parts, axis=-1)
 
     def unflatten(self, z: jax.Array, x0, dt_fixed=None) -> Primal:
@@ -101,7 +110,7 @@ class OcpFunctions:
         xs = jnp.concatenate([x0[..., None, :], xs_tail], axis=-2)
         us = z[..., nX : nX + nU].reshape(batch + (s.N, s.nu))
         if s.variable_dt:
-            dt = z[..., nX + nU]
+            dt = z[..., nX + nU :] if s.nonuniform_dt else z[..., nX + nU]
         else:
             dt = jnp.full(batch, s.dt_ref if dt_fixed is None else dt_fixed, z.dtype)
         return Primal(xs=xs, us=us, dt=dt)

@@ -67,6 +67,14 @@ class OcpSpec:
     dt_min: float = 0.0
     dt_max: float = 10.0
     variable_dt: bool = False
+    # per-stage dt decision variables (parity: cbr:optimal_control/
+    # non_uniform_finite_differences_variable_grid.h — NonUniformFiniteDifferences
+    # VariableGrid: each interval owns its dt, bounds apply per stage, the
+    # min-time objective becomes Σ dt_k). Primal.dt is (..., N) when set.
+    # Solved by the generic-AD solvers (lsq_lm, golden); the structured
+    # Riccati AL-SQP path is uniform-dt by design (one shared tau rides the
+    # augmented state — see solvers/riccati.py).
+    nonuniform_dt: bool = False
     limits: RobotLimits = dataclasses.field(default_factory=RobotLimits)
     min_obstacle_dist: float = 0.5
     obstacle_cap: int = 0             # total padded obstacle slots the solve is compiled for
@@ -97,6 +105,8 @@ class OcpSpec:
                 f"unknown cost_integration {self.cost_integration!r}; "
                 "options: left_sum, trapezoidal"
             )
+        if self.nonuniform_dt and not self.variable_dt:
+            raise ValueError("nonuniform_dt requires variable_dt")
 
     # -- derived static properties -------------------------------------- #
     @property

@@ -85,6 +85,10 @@ class RobotNs:
 class GridNs:
     """`grid` namespace (transcription grid)."""
 
+    #: fd_grid → uniform dt (one shared dt, FiniteDifferencesVariableGridSE2);
+    #: non_uniform_fd_grid → per-stage dt decision variables (parity:
+    #: cbr NonUniformFiniteDifferencesVariableGrid); requires
+    #: variable_grid.enable and solver.type: lsq_lm.
     type: str = "fd_grid"
     grid_size_ref: int = 20
     dt_ref: float = 0.3
@@ -101,6 +105,13 @@ class GridNs:
     # hysteresis band around dt_ref before N changes (parity:
     # grid.variable_grid.grid_adaptation.dt_hyst_ratio)
     grid_adaptation_dt_hyst_ratio: float = 0.1
+
+    def __post_init__(self):
+        if self.type not in ("fd_grid", "non_uniform_fd_grid"):
+            raise ValueError(
+                f"unknown grid type {self.type!r}; "
+                "options: fd_grid, non_uniform_fd_grid"
+            )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -335,7 +346,8 @@ class PlannerConfig:
             dt_ref=g.dt_ref,
             dt_min=g.variable_grid_min_dt,
             dt_max=g.variable_grid_max_dt,
-            variable_dt=g.variable_grid_enable,
+            variable_dt=g.variable_grid_enable or g.type == "non_uniform_fd_grid",
+            nonuniform_dt=g.type == "non_uniform_fd_grid",
             limits=self.robot.limits(),
             min_obstacle_dist=c.min_obstacle_dist,
             obstacle_cap=c.obstacle_capacity

@@ -65,6 +65,11 @@ class Controller:
         # solver backend dispatch (parity: the reference's solver plugin
         # choice — ipopt vs levenberg_marquardt_dense; SURVEY §3.2)
         if config.solver.type == "al_sqp":
+            if self.spec.nonuniform_dt:
+                raise ValueError(
+                    "grid.type: non_uniform_fd_grid requires solver.type: "
+                    "lsq_lm (the structured Riccati path is uniform-dt)"
+                )
             self._solve_single = solve_single
         elif config.solver.type == "lsq_lm":
             from mpc_local_planner_tpu.solvers.lsq_lm import solve_single_lm
@@ -100,6 +105,13 @@ class Controller:
                 "grid_adaptation.enable is single-robot only: N is a "
                 "compile-time shape shared by the whole batch, but adaptation "
                 "is driven by each scenario's optimized dt"
+            )
+        if self._adapt and self.spec.nonuniform_dt:
+            raise ValueError(
+                "grid_adaptation.enable requires grid.type: fd_grid — the "
+                "time-based adaptation steers one shared dt toward dt_ref "
+                "(parity: FiniteDifferencesVariableGridSE2 is uniform-dt); "
+                "a non-uniform grid already places resolution per stage"
             )
         if self._adapt and not self.spec.variable_dt:
             raise ValueError(
@@ -220,7 +232,7 @@ class Controller:
         (batched dt varies per scenario; pass shift_steps explicitly there).
         """
         if elapsed is not None and self.batch is None and self._primal is not None:
-            dt_prev = float(self._primal.dt)
+            dt_prev = float(jnp.mean(self._primal.dt))  # mean over per-stage dt
             shift_steps = int(
                 min(max(round(elapsed / max(dt_prev, 1e-6)), 1), self._spec.N // 2)
             )
@@ -284,7 +296,13 @@ class Controller:
         u0 = jnp.clip(u0, jnp.asarray(lo, u0.dtype), jnp.asarray(hi, u0.dtype))
         twist = self.spec.model.twist_from_control(result.primal.xs[..., 0, :], u0)
 
-        times = jnp.arange(self._spec.N + 1, dtype=u0.dtype) * result.primal.dt[..., None]
+        dt = result.primal.dt
+        if self._spec.nonuniform_dt:
+            # per-stage dt: stage times are the cumulative sum t_0 = 0, Σ dt_k
+            zero = jnp.zeros_like(dt[..., :1])
+            times = jnp.concatenate([zero, jnp.cumsum(dt, axis=-1)], axis=-1)
+        else:
+            times = jnp.arange(self._spec.N + 1, dtype=u0.dtype) * dt[..., None]
         x_seq = TimeSeriesSE2(times=times, values=result.primal.xs)
         u_seq = TimeSeries(times=times[..., :-1], values=result.primal.us)
         return ControlResult(u0=u0, twist=twist, x_seq=x_seq, u_seq=u_seq, solve=result)

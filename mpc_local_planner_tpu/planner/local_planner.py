@@ -373,11 +373,15 @@ class LocalPlanner:
     costmap, and odometry; get twists back.
     """
 
-    def __init__(self, config, batch: Optional[int] = None):
+    def __init__(self, config):
         from mpc_local_planner_tpu.planner.controller import Controller
 
         self.config = config
-        self.controller = Controller(config, batch=batch)
+        # Single-robot by design (parity: one planner per ROS nav stack).
+        # Fleets batch at the Controller level (Controller(config, batch=K)
+        # + per-scenario goal masks; tests/test_fleet_controller.py) — the
+        # plan/costmap pipeline here is inherently per-robot host code.
+        self.controller = Controller(config)
         self._global_plan: Optional[np.ndarray] = None
         #: last OptimalControlResult when controller.publish_ocp_results is
         #: set (parity: the "mpc/ocp_result" topic)

@@ -725,6 +725,12 @@ def solve_single(
     CPU-parity at f32; the KKT blocks are tiny, so the extra passes are
     free).
     """
+    if spec.nonuniform_dt:
+        raise NotImplementedError(
+            "the structured Riccati AL-SQP path is uniform-dt by design "
+            "(one shared tau rides the augmented state); use solver.type "
+            "'lsq_lm' for non-uniform per-stage dt grids"
+        )
     with jax.default_matmul_precision("float32"):
         return _solve_single_impl(spec, settings, scenario, init, duals)
 

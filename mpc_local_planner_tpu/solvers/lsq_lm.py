@@ -47,6 +47,10 @@ def _objective_residuals(spec: OcpSpec, primal: Primal, scenario):
     parts = []
     dt_pos = jnp.maximum(dt, 1e-6)
 
+    # Σ dt_k as an array: per-stage sum on a non-uniform grid, N·dt uniform.
+    per_stage = spec.nonuniform_dt
+    total_time = jnp.sum(dt_pos, axis=-1) if per_stage else spec.N * dt_pos
+
     if spec.objective == "quadratic_form":
         q = jnp.sqrt(2.0 * jnp.asarray(spec.q_diag, dtype))
         r = jnp.sqrt(2.0 * jnp.asarray(spec.r_diag, dtype))
@@ -54,16 +58,32 @@ def _objective_residuals(spec: OcpSpec, primal: Primal, scenario):
         rx = dx * q                           # (N, 3)
         ru = us * r                           # (N, nu)
         if spec.integral_form:
-            s = jnp.sqrt(dt_pos)[..., None, None]
+            s = (
+                jnp.sqrt(dt_pos)[..., None]
+                if per_stage
+                else jnp.sqrt(dt_pos)[..., None, None]
+            )
             ru = ru * s
             if spec.cost_integration == "trapezoidal":
-                w = jnp.ones(rx.shape[-2], dtype)
-                w = jnp.where(jnp.arange(rx.shape[-2]) == 0, jnp.sqrt(0.5), w)
-                rx = rx * w[:, None] * s
-                dxN = se2_boxminus(xs[..., -1, :], scenario.xf)
-                parts.append(
-                    dxN * q * jnp.sqrt(0.5) * jnp.sqrt(dt_pos)[..., None]
-                )
+                if per_stage:
+                    # Σ_k dt_k·½(lx_k+lx_{k+1}) regrouped per state j:
+                    # w_j = ½(dt_{j−1}+dt_j), dt_{−1} = dt_N = 0 — covers the
+                    # terminal state, so no separate tail residual.
+                    zero = jnp.zeros_like(dt_pos[..., :1])
+                    w = 0.5 * (
+                        jnp.concatenate([zero, dt_pos], axis=-1)
+                        + jnp.concatenate([dt_pos, zero], axis=-1)
+                    )  # (..., N+1)
+                    dx_all = se2_boxminus(xs, scenario.xf[..., None, :])
+                    rx = dx_all * q * jnp.sqrt(w)[..., None]
+                else:
+                    w = jnp.ones(rx.shape[-2], dtype)
+                    w = jnp.where(jnp.arange(rx.shape[-2]) == 0, jnp.sqrt(0.5), w)
+                    rx = rx * w[:, None] * s
+                    dxN = se2_boxminus(xs[..., -1, :], scenario.xf)
+                    parts.append(
+                        dxN * q * jnp.sqrt(0.5) * jnp.sqrt(dt_pos)[..., None]
+                    )
             else:
                 rx = rx * s
         parts = [rx.reshape(rx.shape[:-2] + (-1,)), ru.reshape(ru.shape[:-2] + (-1,))] + [
@@ -71,10 +91,14 @@ def _objective_residuals(spec: OcpSpec, primal: Primal, scenario):
         ]
         if spec.hybrid_time_weight > 0.0:
             parts.append(
-                jnp.sqrt(2.0 * spec.hybrid_time_weight * spec.N * dt_pos)[..., None]
+                jnp.sqrt(2.0 * spec.hybrid_time_weight * total_time)[..., None]
             )
     else:  # minimum_time / minimum_time_via_points
-        parts.append(jnp.sqrt(2.0 * spec.N * dt_pos)[..., None])
+        if per_stage:
+            # per-interval residuals: ½ Σ (√(2·dt_k))² = Σ dt_k
+            parts.append(jnp.sqrt(2.0 * dt_pos))
+        else:
+            parts.append(jnp.sqrt(2.0 * spec.N * dt_pos)[..., None])
         if spec.objective == "minimum_time_via_points" and spec.via_cap > 0:
             vp, vm = scenario.via_points, scenario.via_mask
             k = via_stage_assignment(spec, xs, vp, vm)
@@ -120,12 +144,14 @@ def solve_single_lm(
     theta_ix = jnp.arange(n) % spec.nx == spec.nx - 1
     theta_ix = jnp.logical_and(theta_ix, jnp.arange(n) < nX)
 
+    n_dt = fns.n_dt
+
     def sanitize(z):
         th = jnp.arctan2(jnp.sin(z), jnp.cos(z))
         z = jnp.where(theta_ix, th, z)
-        if spec.variable_dt:
-            dt = jnp.clip(z[-1], max(spec.dt_min, 1e-4), spec.dt_max)
-            z = jnp.concatenate([z[:-1], dt[None]])
+        if n_dt:
+            dt = jnp.clip(z[-n_dt:], max(spec.dt_min, 1e-4), spec.dt_max)
+            z = jnp.concatenate([z[:-n_dt], dt])
         return z
 
     def residual(z, w_eq, w_ineq):

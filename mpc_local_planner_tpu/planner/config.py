@@ -140,7 +140,13 @@ class CollisionNs:
     min_obstacle_dist: float = 0.5
     include_costmap_obstacles: bool = True
     costmap_obstacles_behind_robot_dist: float = 1.5
-    collision_check_no_poses: int = -1
+    # number of leading planned states the post-solve costmap veto checks
+    # (-1 = whole horizon). The reference checks only a short prefix
+    # (isPoseTrajectoryFeasible "along first collision_check_no_poses
+    # states") because only u0 is executed each cycle; vetoing on states
+    # beyond the solver's own obstacle horizon (cutoff_dist) deadlocks the
+    # cycle at the first wall the solver never saw.
+    collision_check_no_poses: int = 5
     # interpolate an extra feasibility-check pose when consecutive planned
     # states differ by more than this heading angle (parity:
     # collision_check_min_resolution_angular)

@@ -278,6 +278,14 @@ class Controller:
             fresh_p = initial_primal(self._spec, scenario)
             init = sel(diverged, fresh_p, init)
             duals = sel(diverged, self._fresh_duals(), duals)
+            # re-anchor stage 0 to the measured state on EVERY lane: the
+            # solver treats x_0 as fixed data, and the continue branch would
+            # otherwise keep iterating (and command controls) from last
+            # cycle's start state while the robot has moved on (parity: the
+            # reference grid re-pins its first vertex to x0 each cycle)
+            init = dataclasses.replace(
+                init, xs=init.xs.at[..., 0, :].set(scenario.x0)
+            )
 
         result = self._solver_fn(warm=not cold)(scenario, init, duals)
 

@@ -139,8 +139,21 @@ def costmap_to_obstacle_points(
     behind) of the robot and within cutoff_dist; cells within
     force_inclusion_dist bypass the direction filter entirely. Returns
     (M, 2) world points.
+
+    Only *boundary* lethal cells (those with a free 4-neighbor, or on the
+    map edge) are emitted: interior cells of a solid lethal block can never
+    be the nearest-distance minimizer, so dropping them is exact for the
+    distance constraints while keeping the obstacle count within the
+    solver's static capacity.
     """
-    ys, xs = np.nonzero(costmap.data >= threshold)
+    lethal = costmap.data >= threshold
+    interior = np.zeros_like(lethal)
+    interior[1:-1, 1:-1] = (
+        lethal[1:-1, 1:-1]
+        & lethal[:-2, 1:-1] & lethal[2:, 1:-1]
+        & lethal[1:-1, :-2] & lethal[1:-1, 2:]
+    )
+    ys, xs = np.nonzero(lethal & ~interior)
     if xs.size == 0:
         return np.zeros((0, 2))
     wx = costmap.origin[0] + (xs + 0.5) * costmap.resolution

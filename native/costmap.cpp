@@ -123,6 +123,15 @@ int mpc_costmap_extract_points(const uint8_t* data, int H, int W, double ox,
   for (int y = 0; y < H && n < max_out; ++y) {
     for (int x = 0; x < W && n < max_out; ++x) {
       if (data[y * W + x] < threshold) continue;
+      // boundary filter: interior cells of a solid lethal block are never
+      // the nearest-distance minimizer, so only surface cells (those with a
+      // free 4-neighbor, or on the map edge) are emitted as obstacles
+      const bool boundary =
+          (x == 0 || data[y * W + x - 1] < threshold) ||
+          (x == W - 1 || data[y * W + x + 1] < threshold) ||
+          (y == 0 || data[(y - 1) * W + x] < threshold) ||
+          (y == H - 1 || data[(y + 1) * W + x] < threshold);
+      if (!boundary) continue;
       const double wx = ox + (x + 0.5) * res;
       const double wy = oy + (y + 0.5) * res;
       const double dx = wx - px, dy = wy - py;

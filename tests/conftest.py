@@ -21,3 +21,7 @@ jax.config.update("jax_platforms", "cpu")
 # float64 available for golden-reference solvers; TPU-path code is explicitly
 # dtype-disciplined (takes/casts float32) so this does not change its behavior.
 jax.config.update("jax_enable_x64", True)
+# NOTE: the persistent compilation cache is deliberately NOT enabled here —
+# this machine's XLA:CPU AOT artifacts are compiled with target features the
+# host doesn't report (prefer-no-scatter/gather), and reloading them across
+# processes triggers machine-feature-mismatch warnings with SIGILL risk.

@@ -188,6 +188,12 @@ class CollisionNs:
     # dynamic-converter tracker parameters (parity: CostmapToDynamicObstacles)
     tracker_gate_dist: float = 0.6
     tracker_vel_alpha: float = 0.5
+    # foreground/background separation (parity: CostmapToDynamicObstacles
+    # background subtraction + chained static converter): tracks slower than
+    # this are background — their cells go through the static point path
+    # (budgeted by obstacle_capacity) instead of becoming velocity circles.
+    # Only tracks at/above this speed become dynamic circular obstacles.
+    dynamic_min_speed: float = 0.1
 
     def __post_init__(self):
         if self.costmap_converter not in ("points", "polygons", "lines", "dynamic"):

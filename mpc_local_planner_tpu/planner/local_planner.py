@@ -518,10 +518,37 @@ class LocalPlanner:
                     next_id=self._next_track_id,
                     max_out=col.dynamic_capacity,
                 )
+                # foreground/background separation (parity: the reference's
+                # CostmapToDynamicObstacles subtracts a background model and
+                # chains a static converter for it): only tracks moving at
+                # ≥ dynamic_min_speed become velocity-carrying circles;
+                # everything else (walls, furniture, still-new tracks) goes
+                # through the static point path below, with the fast blobs'
+                # cells excluded so the pedestrian is not double-represented
+                # as a frozen point cloud the solver could never clear.
+                exclusions = []  # (cx, cy, r) of fast blobs
                 # tracker rows correspond 1:1 (in order) to the centroids fed
                 for row, cc in zip(self._tracks, cen):
-                    dyn_circles.append((row[1], row[2], cc[2]))
-                    dyn_vels.append((row[3], row[4]))
+                    if np.hypot(row[3], row[4]) >= col.dynamic_min_speed:
+                        dyn_circles.append((row[1], row[2], cc[2]))
+                        dyn_vels.append((row[3], row[4]))
+                        exclusions.append((cc[0], cc[1], cc[2]))
+                pfn = (
+                    native.extract_points
+                    if native.available()
+                    else costmap_to_obstacle_points
+                )
+                pts = pfn(
+                    costmap, pose, col.costmap_obstacles_behind_robot_dist,
+                    col.cutoff_dist,
+                    force_inclusion_dist=col.force_inclusion_dist,
+                )
+                for ex, ey, er in exclusions:
+                    keep = (
+                        np.hypot(pts[:, 0] - ex, pts[:, 1] - ey)
+                        > er + costmap.resolution
+                    )
+                    pts = pts[keep]
             else:  # "points"
                 fn = (
                     native.extract_points

@@ -126,6 +126,48 @@ def corridor_corner(width: float = 1.0, size: float = 5.0,
     return w.costmap()
 
 
+def stamp_disc(costmap: Costmap, cx: float, cy: float, r: float) -> Costmap:
+    """Copy of the costmap with a lethal disc added (a moving agent's cells)."""
+    data = costmap.data.copy()
+    H, W = data.shape
+    res = costmap.resolution
+    r_cells = max(1, int(round(r / res)))
+    mx = int(round((cx - costmap.origin[0]) / res))
+    my = int(round((cy - costmap.origin[1]) / res))
+    for dy in range(-r_cells, r_cells + 1):
+        for dx in range(-r_cells, r_cells + 1):
+            if dx * dx + dy * dy > r_cells * r_cells:
+                continue
+            x, y = mx + dx, my + dy
+            if 0 <= x < W and 0 <= y < H:
+                data[y, x] = LETHAL
+    return Costmap(data=data, origin=costmap.origin, resolution=costmap.resolution)
+
+
+def pedestrian_crossing(size: float = 6.0, resolution: float = 0.1,
+                        ped_start=(3.0, 5.0), ped_vel=(0.0, -0.3),
+                        ped_radius: float = 0.15):
+    """Open bordered room + a pedestrian crossing on a straight line.
+
+    Returns (costmap_at(t) → Costmap, ped_at(t) → (x, y)). Parity: the
+    reference's dynamic-obstacle Stage scenarios (moving agents the
+    CostmapToDynamicObstacles pipeline must track and the solver
+    anticipate via constant-velocity prediction).
+    """
+    w = WorldBuilder(size, size, resolution)
+    w.add_border(0.1)
+    static = w.costmap()
+
+    def ped_at(t: float):
+        return (ped_start[0] + ped_vel[0] * t, ped_start[1] + ped_vel[1] * t)
+
+    def costmap_at(t: float) -> Costmap:
+        px, py = ped_at(t)
+        return stamp_disc(static, px, py, ped_radius)
+
+    return costmap_at, ped_at
+
+
 def cluttered_room(n_boxes: int = 6, size: float = 6.0, box: float = 0.45,
                    resolution: float = 0.05, seed: int = 0,
                    keepout: float = 0.8) -> Costmap:
@@ -274,34 +316,43 @@ def astar_plan(costmap: Costmap, start_xy, goal_xy, robot_radius: float = 0.2,
     return np.column_stack([pts, theta])
 
 
-def run_episode(config, costmap: Costmap, start, goal,
+def run_episode(config, costmap, start, goal,
                 robot_radius: float = 0.2, max_cycles: int = 200,
                 substeps: int = 6):
     """Closed-loop navigation episode (parity: one Stage demo run).
 
     Global A* plan → LocalPlanner cycles, executing each cycle's planned
     control profile by ZOH sub-sampling (variable-dt min-time grids plan
-    stages shorter than the control period). Returns
-    (reached: bool, traj (K, 3), n_vetoes: int).
+    stages shorter than the control period). ``costmap`` may be a static
+    `Costmap` or a callable t → Costmap (worlds with moving agents; the
+    global plan uses the t = 0 snapshot). Returns
+    (reached: bool, traj (K, 3), n_vetoes: int) — traj carries one pose per
+    *attempted* cycle (vetoed cycles repeat the held pose), so traj[k] is
+    the robot pose at time k·dt_ref for clearance checks against moving
+    agents.
     """
     import jax.numpy as jnp
 
     from mpc_local_planner_tpu.planner.local_planner import LocalPlanner
 
+    cm_at = costmap if callable(costmap) else (lambda t: costmap)
     lp = LocalPlanner(config)
-    plan = astar_plan(costmap, start[:2], goal[:2], robot_radius=robot_radius)
+    plan = astar_plan(cm_at(0.0), start[:2], goal[:2], robot_radius=robot_radius)
     lp.set_plan(plan)
     model = lp.controller.spec.model
     x = np.asarray(start, dtype=np.float64).copy()
     u_prev = np.zeros(lp.controller.spec.nu)
     traj = [x.copy()]
     vetoes = 0
-    for _cycle in range(max_cycles):
-        twist, res = lp.compute_velocity_commands(x, u_prev, costmap=costmap)
+    dt_ref = config.grid.dt_ref
+    for cycle in range(max_cycles):
+        cm = cm_at(cycle * dt_ref)
+        twist, res = lp.compute_velocity_commands(x, u_prev, costmap=cm)
         if res is None:
             vetoes += 1
+            traj.append(x.copy())
             continue
-        h = config.grid.dt_ref / substeps
+        h = dt_ref / substeps
         for s in range(substeps):
             u_prev = np.asarray(res.u_seq.interpolate((s + 0.5) * h, mode="zoh"))
             x = x + h * np.asarray(model.f(jnp.asarray(x), jnp.asarray(u_prev)))

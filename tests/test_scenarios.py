@@ -99,6 +99,76 @@ def test_scenario_reaches_goal_with_clearance(name, costmap, start, goal):
     assert vetoes < 0.5 * traj.shape[0], f"{name}: {vetoes} vetoes"
 
 
+DYN_CFG = """
+controller:
+  xy_goal_tolerance: 0.25
+  yaw_goal_tolerance: 3.2
+  global_plan_overwrite_orientation: true
+  global_plan_prune_distance: 1.0
+  max_global_plan_lookahead_dist: 1.5
+robot:
+  type: unicycle
+  unicycle:
+    max_vel_x: 0.4
+    max_vel_x_backwards: 0.2
+    max_vel_theta: 0.5
+grid:
+  grid_size_ref: 15
+  dt_ref: 0.3
+planning:
+  objective:
+    type: quadratic_form
+    quadratic_form:
+      state_weights: [2.0, 2.0, 0.25]
+      control_weights: [1.0, 1.0]
+  terminal_cost:
+    type: quadratic
+    quadratic:
+      final_state_weights: [10.0, 10.0, 0.5]
+collision:
+  min_obstacle_dist: 0.12
+  cutoff_dist: 2.6
+  force_inclusion_dist: 0.8
+  obstacle_capacity: 128
+  costmap_converter: dynamic
+  dynamic_capacity: 4
+  dynamic_min_speed: 0.1
+  enable_dynamic_obstacles: true
+footprint_model:
+  type: circular
+  radius: 0.15
+"""
+
+
+def test_pedestrian_crossing_anticipated():
+    """A pedestrian crossing the robot's path becomes a tracked
+    velocity-carrying obstacle (CostmapToDynamicObstacles foreground) while
+    the walls stay on the static point path (background); the robot reaches
+    the goal without ever violating separation from the moving agent."""
+    from mpc_local_planner_tpu.utils.worlds import pedestrian_crossing
+
+    ped_r = 0.15
+    cm_at, ped_at = pedestrian_crossing(
+        size=6.0, resolution=0.1,
+        ped_start=(3.0, 4.6), ped_vel=(0.0, -0.28), ped_radius=ped_r,
+    )
+    cfg = load_config(DYN_CFG)
+    reached, traj, vetoes = run_episode(
+        cfg, cm_at, np.asarray((0.8, 3.0, 0.0)), np.asarray((5.2, 3.0, 0.0)),
+        robot_radius=ROBOT_RADIUS + 0.07, max_cycles=220,
+    )
+    assert reached, f"goal not reached (final {traj[-1]}, {vetoes} vetoes)"
+    # per-cycle separation from the pedestrian center (traj[k] is the pose
+    # at t = k * dt_ref by construction)
+    t = np.arange(traj.shape[0]) * cfg.grid.dt_ref
+    ped = np.stack([np.asarray(ped_at(tk)) for tk in t])
+    sep = np.linalg.norm(traj[:, :2] - ped, axis=1)
+    assert sep.min() > ped_r + ROBOT_RADIUS, f"min separation {sep.min():.3f}"
+    # walls must keep clearance too (static background path)
+    clr = min_clearance(cm_at(0.0), traj)
+    assert clr > ROBOT_RADIUS
+
+
 def test_astar_refuses_blocked_goal():
     cm = two_rooms(door_width=0.0, resolution=0.1)  # no door: rooms sealed
     with pytest.raises(ValueError, match="no path found"):

@@ -175,28 +175,128 @@ def warm_start_resample(primal: Primal, x0, steps: int = 1, spec=None) -> Primal
 # grid adaptation (variable horizon N)
 # --------------------------------------------------------------------------- #
 def adapt_grid_size(dt: float, N: int, *, dt_ref: float, dt_hyst_ratio: float,
-                    min_grid_size: int, max_grid_size: int) -> int:
-    """Time-based single-step grid adaptation decision.
+                    min_grid_size: int, max_grid_size: int,
+                    mode: str = "time_based_single_step") -> int:
+    """Time-based grid adaptation decision.
 
     Parity: ``cbr:optimal_control/.../finite_differences_variable_grid.cpp ::
-    FiniteDifferencesVariableGrid::adaptGrid`` (GridAdaptStrategy::
-    TimeBasedSingleStep, the mode ``mpc_local_planner``'s
-    FiniteDifferencesVariableGridSE2 exposes via the
+    FiniteDifferencesVariableGrid::adaptGrid`` (the modes
+    ``mpc_local_planner``'s FiniteDifferencesVariableGridSE2 exposes via the
     ``grid.variable_grid.grid_adaptation`` namespace): after a solve, if the
-    optimized dt exceeds dt_ref by more than the hysteresis ratio the horizon
-    grows by one stage; if it undershoots by more than the ratio it shrinks
-    by one. The hysteresis band prevents N from oscillating when dt* ≈ dt_ref.
+    optimized dt drifts out of the hysteresis band around dt_ref the horizon
+    is resized so dt moves back toward dt_ref —
+    ``time_based_single_step`` grows/shrinks N by one stage per cycle
+    (GridAdaptStrategy::TimeBasedSingleStep);
+    ``time_based_aggressive_estimate`` jumps straight to the estimated
+    N* = round(T / dt_ref) = round(N·dt / dt_ref) in one step
+    (GridAdaptStrategy::TimeBasedAggressiveEstimate) — faster settling at
+    the price of larger warm-start resamples (and, here, more compiled-N
+    cache entries).
 
     TPU-first: this is a *host-side* decision between compiled solves — each
     distinct N is its own fixed-shape jitted program (cached per N by the
     Controller), and the stored primal/duals are resampled onto the new grid
     by :func:`resize_primal` / :func:`resize_duals`.
     """
-    if dt > dt_ref * (1.0 + dt_hyst_ratio) and N < max_grid_size:
+    in_band = (
+        dt_ref * (1.0 - dt_hyst_ratio) <= dt <= dt_ref * (1.0 + dt_hyst_ratio)
+    )
+    if in_band:
+        return N
+    if mode == "time_based_aggressive_estimate":
+        est = int(round(N * dt / dt_ref))
+        return max(min_grid_size, min(max_grid_size, est))
+    if dt > dt_ref and N < max_grid_size:
         return N + 1
-    if dt < dt_ref * (1.0 - dt_hyst_ratio) and N > min_grid_size:
+    if dt < dt_ref and N > min_grid_size:
         return N - 1
     return N
+
+
+def adapt_grid_nonuniform(primal: Primal, duals, *, control_box,
+                          epsilon: float, dt_max: float,
+                          min_grid_size: int, max_grid_size: int):
+    """RedundantControls adaptation for the non-uniform per-stage-dt grid.
+
+    Parity: ``cbr:optimal_control/structured_ocp/discretization_grids/
+    non_uniform_finite_differences_variable_grid.h`` adaptation — the
+    non-uniform grid places resolution where the *controls* change: an
+    interval whose neighboring controls are (near-)identical is a redundant
+    decision and gets merged into its neighbor; an interval across which the
+    controls jump gets split in half. One structural edit per cycle (like
+    the uniform single-step mode), host-side, with the warm-start primal and
+    stage duals carried through the edit by explicit index maps.
+
+    ``epsilon`` is the redundancy threshold on the per-interval control
+    change, normalized by the control box ranges; the split threshold is
+    2·epsilon (hysteresis — a just-merged pair does not immediately split).
+    Returns (primal, duals, new_N); new_N == N means no edit.
+    """
+    import numpy as np
+
+    us = np.asarray(primal.us)          # (N, nu)
+    dt = np.asarray(primal.dt)          # (N,)
+    N = us.shape[0]
+    lo, hi = control_box
+    rng = np.maximum(np.asarray(hi, dtype=float) - np.asarray(lo, dtype=float), 1e-9)
+    e = np.max(np.abs(np.diff(us, axis=0)) / rng[None, :], axis=1)  # (N-1,)
+
+    remove_k = split_k = None
+    if N > min_grid_size and e.size and float(e.min()) < epsilon:
+        k = int(np.argmin(e))  # merge interval k+1 into k
+        if float(dt[k] + dt[k + 1]) <= dt_max:
+            remove_k = k
+    if remove_k is None and N < max_grid_size and e.size and float(e.max()) > 2.0 * epsilon:
+        split_k = int(np.argmax(e))
+
+    if remove_k is None and split_k is None:
+        return primal, duals, N
+
+    if remove_k is not None:
+        k = remove_k
+        keep_x = np.concatenate([np.arange(k + 1), np.arange(k + 2, N + 1)])
+        keep_u = np.concatenate([np.arange(k + 1), np.arange(k + 2, N)])
+        xs = jnp.take(primal.xs, jnp.asarray(keep_x), axis=-2)
+        us_n = jnp.take(primal.us, jnp.asarray(keep_u), axis=-2)
+        dt_n = jnp.asarray(
+            np.concatenate([dt[:k], [dt[k] + dt[k + 1]], dt[k + 2:]]),
+            primal.dt.dtype,
+        )
+        dual_ix = keep_u
+        new_N = N - 1
+    else:
+        k = split_k
+        from mpc_local_planner_tpu.core.so2 import normalize_angle, se2_boxminus
+
+        xa, xb = primal.xs[..., k, :], primal.xs[..., k + 1, :]
+        xm = xa + 0.5 * se2_boxminus(xb, xa)
+        xm = xm.at[..., 2].set(normalize_angle(xm[..., 2]))
+        xs = jnp.concatenate(
+            [primal.xs[..., : k + 1, :], xm[..., None, :], primal.xs[..., k + 1 :, :]],
+            axis=-2,
+        )
+        us_n = jnp.concatenate(
+            [primal.us[..., : k + 1, :], primal.us[..., k : k + 1, :],
+             primal.us[..., k + 1 :, :]],
+            axis=-2,
+        )
+        dt_n = jnp.asarray(
+            np.concatenate([dt[:k], [dt[k] / 2, dt[k] / 2], dt[k + 1:]]),
+            primal.dt.dtype,
+        )
+        dual_ix = np.concatenate([np.arange(k + 1), [k], np.arange(k + 1, N)])
+        new_N = N + 1
+
+    ix = jnp.asarray(dual_ix)
+    rs = lambda a: jnp.take(a, ix, axis=-2)  # noqa: E731
+    duals = dataclasses.replace(
+        duals,
+        lam_def=rs(duals.lam_def),
+        mu_obs=rs(duals.mu_obs),
+        mu_rate=rs(duals.mu_rate),
+        mu_box=rs(duals.mu_box),
+    )
+    return Primal(xs=xs, us=us_n, dt=dt_n), duals, new_N
 
 
 def resize_primal(primal: Primal, new_N: int, spec=None) -> Primal:

@@ -105,12 +105,36 @@ class GridNs:
     # hysteresis band around dt_ref before N changes (parity:
     # grid.variable_grid.grid_adaptation.dt_hyst_ratio)
     grid_adaptation_dt_hyst_ratio: float = 0.1
+    # adaptation strategy (parity: cbr GridAdaptStrategy):
+    #   time_based_single_step         — grow/shrink N by 1 toward dt_ref
+    #                                    (fd_grid only)
+    #   time_based_aggressive_estimate — jump to N* = round(N·dt/dt_ref)
+    #                                    (fd_grid only)
+    #   redundant_controls             — merge intervals with near-identical
+    #                                    neighboring controls, split across
+    #                                    control jumps (non_uniform_fd_grid
+    #                                    only; cbr NonUniformFiniteDifferences
+    #                                    VariableGrid adaptation)
+    grid_adaptation_mode: str = "time_based_single_step"
+    # redundancy threshold on the per-interval control change (normalized by
+    # the control box ranges) for redundant_controls mode; split fires at 2×
+    grid_adaptation_redundant_controls_epsilon: float = 0.05
 
     def __post_init__(self):
         if self.type not in ("fd_grid", "non_uniform_fd_grid"):
             raise ValueError(
                 f"unknown grid type {self.type!r}; "
                 "options: fd_grid, non_uniform_fd_grid"
+            )
+        if self.grid_adaptation_mode not in (
+            "time_based_single_step",
+            "time_based_aggressive_estimate",
+            "redundant_controls",
+        ):
+            raise ValueError(
+                f"unknown grid_adaptation_mode {self.grid_adaptation_mode!r}; "
+                "options: time_based_single_step, "
+                "time_based_aggressive_estimate, redundant_controls"
             )
 
 

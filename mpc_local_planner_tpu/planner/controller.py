@@ -24,6 +24,7 @@ from mpc_local_planner_tpu.core.so2 import angle_diff
 from mpc_local_planner_tpu.core.time_series import TimeSeries, TimeSeriesSE2
 from mpc_local_planner_tpu.ocp.grid import (
     Primal,
+    adapt_grid_nonuniform,
     adapt_grid_size,
     initial_primal,
     primal_from_plan,
@@ -106,12 +107,23 @@ class Controller:
                 "compile-time shape shared by the whole batch, but adaptation "
                 "is driven by each scenario's optimized dt"
             )
-        if self._adapt and self.spec.nonuniform_dt:
+        if self._adapt and self.spec.nonuniform_dt and (
+            g.grid_adaptation_mode != "redundant_controls"
+        ):
             raise ValueError(
-                "grid_adaptation.enable requires grid.type: fd_grid — the "
-                "time-based adaptation steers one shared dt toward dt_ref "
-                "(parity: FiniteDifferencesVariableGridSE2 is uniform-dt); "
-                "a non-uniform grid already places resolution per stage"
+                "time-based grid_adaptation modes require grid.type: fd_grid "
+                "— they steer one shared dt toward dt_ref (parity: "
+                "FiniteDifferencesVariableGridSE2 is uniform-dt); for "
+                "non_uniform_fd_grid use grid_adaptation.mode: "
+                "redundant_controls"
+            )
+        if self._adapt and not self.spec.nonuniform_dt and (
+            g.grid_adaptation_mode == "redundant_controls"
+        ):
+            raise ValueError(
+                "grid_adaptation.mode: redundant_controls requires "
+                "grid.type: non_uniform_fd_grid (it edits per-stage dt; "
+                "parity: cbr NonUniformFiniteDifferencesVariableGrid)"
             )
         if self._adapt and not self.spec.variable_dt:
             raise ValueError(
@@ -149,23 +161,38 @@ class Controller:
         return fn
 
     def _adapt_grid(self):
-        """Time-based single-step horizon adaptation between cycles.
+        """Horizon adaptation between cycles (host-side: each N dispatches
+        to its own cached compiled solve, _solver_fn).
 
         Parity: ``mpc_local_planner/optimal_control/
         finite_differences_variable_grid_se2.h ::
-        FiniteDifferencesVariableGridSE2`` (grid_adaptation mode
-        TimeBasedSingleStep): grow/shrink N by one stage when the optimized
-        dt drifts out of the hysteresis band around dt_ref, then carry the
-        warm start (primal + stage duals) onto the new grid. Host-side: the
-        new N dispatches to its own cached compiled solve (_solver_fn).
+        FiniteDifferencesVariableGridSE2`` time-based modes (grow/shrink N
+        when the optimized dt drifts out of the hysteresis band around
+        dt_ref), and ``cbr:.../non_uniform_finite_differences_variable_grid
+        .h`` redundant-controls adaptation for the per-stage-dt grid; the
+        warm start (primal + stage duals) is carried onto the edited grid.
         """
+        g = self.config.grid
+        if g.grid_adaptation_mode == "redundant_controls":
+            self._primal, self._duals, new_N = adapt_grid_nonuniform(
+                self._primal, self._duals,
+                control_box=self._spec.control_box(),
+                epsilon=g.grid_adaptation_redundant_controls_epsilon,
+                dt_max=self._spec.dt_max,
+                min_grid_size=g.grid_adaptation_min_grid_size,
+                max_grid_size=g.grid_adaptation_max_grid_size,
+            )
+            if new_N != self._spec.N:
+                self._spec = dataclasses.replace(self.spec, N=new_N)
+            return
         new_N = adapt_grid_size(
             float(self._primal.dt),
             self._spec.N,
             dt_ref=self._spec.dt_ref,
-            dt_hyst_ratio=self.config.grid.grid_adaptation_dt_hyst_ratio,
-            min_grid_size=self.config.grid.grid_adaptation_min_grid_size,
-            max_grid_size=self.config.grid.grid_adaptation_max_grid_size,
+            dt_hyst_ratio=g.grid_adaptation_dt_hyst_ratio,
+            min_grid_size=g.grid_adaptation_min_grid_size,
+            max_grid_size=g.grid_adaptation_max_grid_size,
+            mode=g.grid_adaptation_mode,
         )
         if new_N != self._spec.N:
             self._primal = resize_primal(self._primal, new_N, spec=self._spec)

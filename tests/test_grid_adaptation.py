@@ -198,6 +198,127 @@ def test_closed_loop_horizon_shrinks_toward_goal():
             assert dts[k - 1] < lo, (k, dts, ns)
 
 
+def test_adapt_decision_aggressive_estimate():
+    kw = dict(dt_ref=0.3, dt_hyst_ratio=0.1, min_grid_size=5, max_grid_size=30,
+              mode="time_based_aggressive_estimate")
+    # inside the band: no change
+    assert adapt_grid_size(0.31, 20, **kw) == 20
+    # outside: jump straight to N* = round(N·dt/dt_ref), clamped
+    assert adapt_grid_size(0.60, 20, **kw) == 30  # N* = 40 → clamp 30
+    assert adapt_grid_size(0.45, 20, **kw) == 30
+    assert adapt_grid_size(0.15, 20, **kw) == 10
+    assert adapt_grid_size(0.015, 20, **kw) == 5  # N* = 1 → clamp 5
+
+
+def test_adapt_nonuniform_merge_and_split():
+    """RedundantControls edits (parity: cbr non_uniform_finite_differences_
+    variable_grid.h): a redundant interval merges, a control jump splits."""
+    from mpc_local_planner_tpu.ocp.grid import adapt_grid_nonuniform
+
+    box = ((-0.2, -0.6), (0.4, 0.6))
+    N = 6
+    xs = jnp.stack(
+        [jnp.linspace(0.0, 1.8, N + 1), jnp.zeros(N + 1), jnp.zeros(N + 1)], axis=-1
+    )
+
+    def duals_for(n):
+        from mpc_local_planner_tpu.benchmarks import config3_carlike_min_time
+
+        return init_duals(config3_carlike_min_time(N=n, obstacle_cap=3),
+                          SolverSettings())
+
+    # controls identical across interval 2-3 → merge stage 3 away
+    us = jnp.array([[0.4, 0.1], [0.3, -0.1], [0.2, 0.0], [0.2, 0.0],
+                    [0.1, 0.2], [0.0, 0.3]])
+    dt = jnp.full((N,), 0.3)
+    p, d, n2 = adapt_grid_nonuniform(
+        Primal(xs=xs, us=us, dt=dt), duals_for(N), control_box=box,
+        epsilon=0.05, dt_max=10.0, min_grid_size=2, max_grid_size=10,
+    )
+    assert n2 == N - 1
+    assert p.xs.shape == (N, 3) and p.us.shape == (N - 1, 2) and p.dt.shape == (N - 1,)
+    np.testing.assert_allclose(float(jnp.sum(p.dt)), float(jnp.sum(dt)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p.dt[2]), 0.6, rtol=1e-6)  # merged pair
+    assert d.lam_def.shape == (N - 1, 3)
+
+    # all controls far apart except a big jump at interval 0 → split it
+    us2 = jnp.array([[0.4, 0.5], [-0.2, -0.5], [0.0, 0.0], [0.2, 0.25],
+                     [0.4, 0.5], [0.2, 0.25]])
+    p2, d2, n3 = adapt_grid_nonuniform(
+        Primal(xs=xs, us=us2, dt=dt), duals_for(N), control_box=box,
+        epsilon=0.05, dt_max=10.0, min_grid_size=2, max_grid_size=10,
+    )
+    assert n3 == N + 1
+    assert p2.xs.shape == (N + 2, 3) and p2.dt.shape == (N + 1,)
+    np.testing.assert_allclose(float(jnp.sum(p2.dt)), float(jnp.sum(dt)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2.dt[:2]), [0.15, 0.15], rtol=1e-6)
+    # the inserted state bisects, the inserted control duplicates u_0
+    np.testing.assert_allclose(np.asarray(p2.xs[1]), [0.15, 0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2.us[1]), np.asarray(us2[0]), atol=1e-6)
+    # no edit when min interval change exceeds eps and max below 2*eps
+    _, _, n4 = adapt_grid_nonuniform(
+        Primal(xs=xs, us=us2, dt=dt), duals_for(N), control_box=box,
+        epsilon=0.9, dt_max=10.0, min_grid_size=6, max_grid_size=6,
+    )
+    assert n4 == N
+
+
+def test_mode_validation_rejects_bad_combinations():
+    import pytest
+
+    bad = MIN_TIME_ADAPT_YAML.replace(
+        "dt_hyst_ratio: 0.1", "dt_hyst_ratio: 0.1\n      mode: redundant_controls"
+    )
+    with pytest.raises(ValueError, match="non_uniform_fd_grid"):
+        Controller(load_config(bad))
+    with pytest.raises(ValueError, match="unknown grid_adaptation_mode"):
+        load_config(MIN_TIME_ADAPT_YAML.replace(
+            "dt_hyst_ratio: 0.1", "dt_hyst_ratio: 0.1\n      mode: nope"
+        ))
+
+
+def test_closed_loop_nonuniform_redundant_controls():
+    """Non-uniform grid + redundant_controls adaptation drives a min-time
+    closed loop: the grid sheds redundant stages (N shrinks from
+    grid_size_ref) while the robot still reaches the goal."""
+    yaml = MIN_TIME_ADAPT_YAML.replace(
+        "grid:\n  grid_size_ref: 20",
+        "grid:\n  type: non_uniform_fd_grid\n  grid_size_ref: 12",
+    ).replace(
+        "dt_hyst_ratio: 0.1",
+        "dt_hyst_ratio: 0.1\n      mode: redundant_controls\n"
+        "      redundant_controls_epsilon: 0.05",
+    ).replace(
+        "solver:\n  iterations: 8",
+        "solver:\n  type: lsq_lm\n  iterations: 8",
+    )
+    cfg = load_config(yaml)
+    assert cfg.grid.grid_adaptation_mode == "redundant_controls"
+    ctrl = Controller(cfg, dtype=jnp.float32)
+    spec = ctrl.spec
+    assert spec.nonuniform_dt
+    x = jnp.array([0.0, 0.0, 0.0], dtype=jnp.float32)
+    goal = jnp.array([1.2, 0.0, 0.0], dtype=jnp.float32)
+    ns = [ctrl._spec.N]
+    reached = False
+    for _cycle in range(50):
+        scen = Scenario.goal_only(x, goal, nu=spec.nu, via_cap=0, dtype=jnp.float32)
+        scen = dataclasses.replace(
+            scen, obstacles=ObstacleSet.empty(0, 0, 0, 0, dtype=jnp.float32)
+        )
+        res = ctrl.step(scen)
+        ns.append(ctrl._spec.N)
+        x = x + 0.3 * spec.model.f(x, res.u0)
+        if ctrl.is_goal_reached(x, goal):
+            reached = True
+            break
+    assert reached, np.asarray(x)
+    # a straight-line cruise is mostly redundant controls: stages were shed
+    assert min(ns) < 12, ns
+    # structural edits are single-step
+    assert all(abs(a - b) <= 1 for a, b in zip(ns, ns[1:])), ns
+
+
 def test_closed_loop_horizon_grows_when_goal_recedes():
     """A goal far beyond what N·dt_max covers forces dt above the band; the
     controller grows N (bounded by max_grid_size)."""

@@ -66,3 +66,35 @@ def test_shooting_ocp_solves_and_matches_collocation():
         )
     )
     assert du < 0.1, du
+
+
+def test_shooting_variable_dt_min_time():
+    """Variable-dt multiple shooting (parity: cbr
+    multiple_shooting_variable_grid): dt is a decision variable on a
+    shooting transcription; the min-time optimum matches the FD-collocation
+    min-time T* to discretization error."""
+    mk = lambda colloc: OcpSpec(  # noqa: E731
+        model=UnicycleModel(), footprint=PointFootprint(), N=20,
+        collocation=colloc, objective="minimum_time",
+        q_diag=(0.0, 0.0, 0.0), r_diag=(0.0, 0.0), qf_diag=(0.0, 0.0, 0.0),
+        dt_ref=0.3, dt_min=0.01, dt_max=1.0, variable_dt=True,
+        xf_fixed=(True, True, True), limits=LIMITS,
+    )
+    scen = Scenario.goal_only(
+        x0=jnp.array([0.0, 0.0, 0.0]), xf=jnp.array([2.0, 0.0, 0.0]),
+        dtype=jnp.float64,
+    )
+    settings = SolverSettings.for_spec(mk("shooting_rk4"))
+    T = {}
+    for colloc in ("shooting_rk4", "forward_differences"):
+        spec = mk(colloc)
+        init = initial_primal(spec, scen)
+        duals = init_duals(spec, settings, dtype=jnp.float64)
+        r = jax.jit(lambda s, i, d, spec=spec: solve_single(spec, settings, s, i, d))(
+            scen, init, duals
+        )
+        assert bool(r.converged), colloc
+        T[colloc] = float(r.primal.dt) * spec.N
+    # straight-line 2 m at v_max 0.4 → T* = 5 s
+    assert abs(T["shooting_rk4"] - 5.0) < 0.15, T
+    assert abs(T["shooting_rk4"] - T["forward_differences"]) < 0.15, T

@@ -199,6 +199,45 @@ class Controller:
             self._duals = resize_duals(self._duals, new_N)
             self._spec = dataclasses.replace(self.spec, N=new_N)
 
+    def precompile(self, scenario: Scenario, n_values=None) -> int:
+        """Compile the solve programs for every horizon the grid adaptation
+        can reach, ahead of the first control cycle.
+
+        Real-time bring-up: each distinct N is its own fixed-shape XLA
+        program, and a mid-run compile costs ~10²× the control-cycle budget
+        — a deployment should pay all of them before the loop starts (the
+        persistent compilation cache then amortizes across restarts).
+        ``scenario`` is a prototype with the same pytree shapes (obstacle /
+        via-point capacities, batch, dtype) the cycles will pass — shapes,
+        not values, select the compiled program. Returns the number of
+        cached programs afterwards.
+
+        Parity note: the reference has no analog (IPOPT interprets the
+        problem each solve); this is the TPU-native cost being paid up
+        front instead of per-structure-change.
+        """
+        g = self.config.grid
+        if n_values is None:
+            if self._adapt:
+                n_values = range(
+                    g.grid_adaptation_min_grid_size,
+                    g.grid_adaptation_max_grid_size + 1,
+                )
+            else:
+                n_values = [self.spec.N]
+        spec0, primal0, duals0 = self._spec, self._primal, self._duals
+        try:
+            for n in n_values:
+                self._spec = dataclasses.replace(self.spec, N=int(n))
+                init = initial_primal(self._spec, scenario)
+                duals = self._fresh_duals()
+                for warm in (False, True):
+                    r = self._solver_fn(warm=warm)(scenario, init, duals)
+                float(jnp.sum(r.cost))  # force through the async bridge
+        finally:
+            self._spec, self._primal, self._duals = spec0, primal0, duals0
+        return len(self._cache)
+
     # -- warm-start policy ------------------------------------------------ #
     def reset(self):
         """Drop warm-start state (parity: Controller::reset on failure)."""

@@ -319,6 +319,31 @@ def test_closed_loop_nonuniform_redundant_controls():
     assert all(abs(a - b) <= 1 for a, b in zip(ns, ns[1:])), ns
 
 
+def test_precompile_ladder_populates_program_cache():
+    """precompile() builds every N's (cold + warm) program up front; the
+    closed loop then never triggers a mid-run compile (cache keys stable)."""
+    yaml = MIN_TIME_ADAPT_YAML.replace("max_grid_size: 30", "max_grid_size: 22")\
+                              .replace("min_grid_size: 5", "min_grid_size: 18")
+    cfg = load_config(yaml)
+    ctrl = Controller(cfg, dtype=jnp.float32)
+    scen = Scenario.goal_only(
+        jnp.zeros(3, jnp.float32), jnp.array([1.0, 0.0, 0.0], jnp.float32),
+        nu=ctrl.spec.nu, via_cap=0, dtype=jnp.float32,
+    )
+    scen = dataclasses.replace(
+        scen, obstacles=ObstacleSet.empty(0, 0, 0, 0, dtype=jnp.float32)
+    )
+    n_programs = ctrl.precompile(scen)
+    assert n_programs == (22 - 18 + 1) * 2  # cold + warm per N
+    keys = set(ctrl._cache.keys())
+    assert (20, False) in keys and (20, True) in keys
+    # precompile must not leave warm-start state behind
+    assert ctrl._primal is None
+    # a real cycle at the reference N reuses the cache (no new keys)
+    ctrl.step(scen)
+    assert set(ctrl._cache.keys()) == keys
+
+
 def test_closed_loop_horizon_grows_when_goal_recedes():
     """A goal far beyond what N·dt_max covers forces dt above the band; the
     controller grows N (bounded by max_grid_size)."""

@@ -95,6 +95,103 @@ def latency_mode():
     )
 
 
+def fleet_mode():
+    """Sustained large-fleet throughput (BASELINE: 1k → 64k ensembles).
+
+    BENCH_TOTAL scenarios (default 65536) live device-resident as
+    BENCH_BATCH-sized chunks (default 4096 — the largest stable dispatch on
+    this bridge; ≥8192 crashes the worker); every round runs one warm MPC
+    cycle per chunk, time-slicing the chip across the fleet. Measures the
+    aggregate steady-state rate a 64k-robot serving deployment would see
+    from one chip. Run via BENCH_MODE=fleet.
+    """
+    import os
+
+    from mpc_local_planner_tpu.benchmarks import config3_carlike_min_time, random_ensemble
+    from mpc_local_planner_tpu.ocp.grid import initial_primal, warm_start_resample
+    from mpc_local_planner_tpu.solvers.al_sqp import (
+        SolverSettings,
+        init_duals,
+        shift_duals,
+        solve_single,
+    )
+
+    total = int(os.environ.get("BENCH_TOTAL", "65536"))
+    chunk = int(os.environ.get("BENCH_BATCH", "4096"))
+    n_chunks = max(1, total // chunk)
+    total = n_chunks * chunk
+    spec = config3_carlike_min_time(N=30, obstacle_cap=8)
+    cold = SolverSettings.for_spec(spec)
+    warm = SolverSettings(
+        n_al=2, n_sqp=3, rho0=50.0, reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3,
+        alphas=(1.0, 0.7, 0.5, 0.35, 0.22, 0.14, 0.08, 0.03),
+    )
+    dev = jax.devices()[0]
+    cold_solve = jax.jit(jax.vmap(lambda s, i, d: solve_single(spec, cold, s, i, d)))
+    warm_solve = jax.jit(jax.vmap(lambda s, i, d: solve_single(spec, warm, s, i, d)))
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        duals0 = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (chunk,) + a.shape),
+            init_duals(spec, cold, dtype=jnp.float32),
+        )
+    duals0 = jax.device_put(duals0, dev)
+
+    def cycle(scen, r):
+        ok = r.converged
+        diverged = jnp.logical_or(r.eq_norm > 0.5, r.ineq_viol > 0.5)
+        x0n = jnp.where(ok[:, None], r.primal.xs[:, 1, :], scen.x0)
+        scen = dc.replace(scen, x0=x0n)
+        sel = lambda m, a, b: jax.tree_util.tree_map(  # noqa: E731
+            lambda x, y: jnp.where(m.reshape(m.shape + (1,) * (x.ndim - m.ndim)), x, y),
+            a, b,
+        )
+        initn = sel(ok, warm_start_resample(r.primal, x0n, steps=1, spec=spec), r.primal)
+        dn = sel(ok, shift_duals(r.duals, warm, steps=1), r.duals)
+        initn = sel(diverged, initial_primal(spec, scen), initn)
+        dn = sel(diverged, duals0, dn)
+        return scen, warm_solve(scen, initn, dn)
+
+    cycle = jax.jit(cycle)
+
+    fleet = []
+    for k in range(n_chunks):
+        with jax.default_device(jax.devices("cpu")[0]):
+            scen = random_ensemble(spec, chunk, jax.random.PRNGKey(k))
+            init = initial_primal(spec, scen)
+        scen, init = jax.device_put((scen, init), dev)
+        r = cold_solve(scen, init, duals0)
+        scen, r = cycle(scen, r)  # settle one warm cycle
+        fleet.append((scen, r))
+    _ = float(jnp.sum(fleet[-1][1].cost))
+
+    rounds = 3
+    t0 = time.perf_counter()
+    for _round in range(rounds):
+        fleet = [cycle(s, r) for s, r in fleet]
+    n_conv = sum(int(jnp.sum(r.converged)) for _, r in fleet)  # forces chain
+    dt = (time.perf_counter() - t0) / rounds
+    sps = total / dt
+    conv = n_conv / total
+    print(
+        json.dumps(
+            {
+                "metric": "fleet64k_converged_solves_per_s_n30_carlike_mintime",
+                "value": round(sps * conv, 1),
+                "unit": "converged solves/s",
+                "vs_baseline": round(sps * conv / 10.0, 2),
+                "extra": {
+                    "fleet": total,
+                    "chunk": chunk,
+                    "round_ms": round(dt * 1e3, 2),
+                    "total_solves_per_s": round(sps, 1),
+                    "converged_frac": round(conv, 3),
+                },
+            }
+        )
+    )
+
+
 def main():
     from mpc_local_planner_tpu.benchmarks import config3_carlike_min_time, random_ensemble
     from mpc_local_planner_tpu.ocp.grid import initial_primal, warm_start_resample
@@ -193,7 +290,10 @@ def main():
 if __name__ == "__main__":
     import os
 
-    entry = latency_mode if os.environ.get("BENCH_MODE") == "latency" else main
+    entry = {
+        "latency": latency_mode,
+        "fleet": fleet_mode,
+    }.get(os.environ.get("BENCH_MODE", ""), main)
     # the axon TPU worker occasionally crashes/restarts mid-run; retry once
     # after a cool-down so the driver still gets a measurement
     try:

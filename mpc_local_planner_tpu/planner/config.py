@@ -489,6 +489,42 @@ def _flatten_reference_style(ns: str, d: Dict[str, Any]) -> Dict[str, Any]:
     return dict(d)
 
 
+def reconfigure_config(config: PlannerConfig, updates: Dict[str, Any]) -> PlannerConfig:
+    """New PlannerConfig with YAML-style nested ``updates`` merged over
+    ``config`` (parity: the dynamic_reconfigure parameter surface — the
+    reference lets a subset of `cfg/Controller.cfg` parameters be retuned on
+    a live controller). Unknown namespaces/keys raise, like load_config.
+    """
+    ns_map = {
+        "controller": ControllerNs,
+        "robot": RobotNs,
+        "grid": GridNs,
+        "planning": PlanningNs,
+        "collision": CollisionNs,
+        "solver": SolverNs,
+        "footprint_model": FootprintNs,
+    }
+    kwargs: Dict[str, Any] = {}
+    for ns, value in updates.items():
+        if ns == "via_capacity":
+            kwargs[ns] = value
+            continue
+        if ns not in ns_map:
+            raise KeyError(f"unknown config namespace {ns!r}")
+        cls = ns_map[ns]
+        flat = _flatten_reference_style(ns, value)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        clean: Dict[str, Any] = {}
+        for k, v in flat.items():
+            if k not in fields:
+                raise KeyError(f"unknown {cls.__name__} parameter {k!r}")
+            if isinstance(v, list):
+                v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+            clean[k] = v
+        kwargs[ns] = dataclasses.replace(getattr(config, ns), **clean)
+    return dataclasses.replace(config, **kwargs)
+
+
 def load_config(source) -> PlannerConfig:
     """Build a PlannerConfig from a dict, YAML string, or YAML file path."""
     if isinstance(source, str):

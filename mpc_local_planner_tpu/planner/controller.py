@@ -199,6 +199,61 @@ class Controller:
             self._duals = resize_duals(self._duals, new_N)
             self._spec = dataclasses.replace(self.spec, N=new_N)
 
+    def reconfigure(self, updates) -> bool:
+        """Retune parameters on a live controller (parity: the reference's
+        dynamic_reconfigure surface on ``cfg/Controller.cfg``).
+
+        ``updates`` is a nested YAML-style mapping merged over the current
+        config (see config.reconfigure_config), or a full PlannerConfig.
+        Returns True when the warm-start state survived the change: it is
+        kept iff the static problem shapes (horizon, model dims, obstacle /
+        via capacities, dt-variable structure) are unchanged — weight or
+        tolerance tuning keeps the fleet warm; structural changes reset it.
+
+        TPU note: every parameter is a compile-time constant of the solve
+        program, so ANY update recompiles (the program cache is dropped).
+        Retuning is expected at human cadence, not per control cycle.
+        """
+        from mpc_local_planner_tpu.planner.config import reconfigure_config
+
+        new_cfg = (
+            updates
+            if isinstance(updates, PlannerConfig)
+            else reconfigure_config(self.config, updates)
+        )
+        # snapshot warm state + the live (possibly adapted) horizon
+        state = (
+            self._primal, self._duals, self._last_goal,
+            self._last_ok, self._last_diverged, self._steps_since_reinit,
+        )
+        live_N, old_live = self._spec.N, self._spec
+
+        self.__init__(new_cfg, batch=self.batch, dtype=self.dtype)
+
+        if state[0] is None:
+            return False
+        candidate = dataclasses.replace(self.spec, N=live_N)
+        shape_keys = (
+            "N", "nx", "nu", "obstacle_cap", "via_cap",
+            "variable_dt", "nonuniform_dt",
+        )
+        same = all(
+            getattr(candidate, k) == getattr(old_live, k) for k in shape_keys
+        )
+        ladder_ok = (not self._adapt) or (
+            self.config.grid.grid_adaptation_min_grid_size
+            <= live_N
+            <= self.config.grid.grid_adaptation_max_grid_size
+        )
+        if not (same and ladder_ok and (self._adapt or live_N == self.spec.N)):
+            return False
+        (
+            self._primal, self._duals, self._last_goal,
+            self._last_ok, self._last_diverged, self._steps_since_reinit,
+        ) = state
+        self._spec = candidate
+        return True
+
     def precompile(self, scenario: Scenario, n_values=None) -> int:
         """Compile the solve programs for every horizon the grid adaptation
         can reach, ahead of the first control cycle.

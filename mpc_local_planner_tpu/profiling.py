@@ -64,6 +64,63 @@ def profile_solver_phases(
     return out
 
 
+def xla_trace(log_dir: str):
+    """XLA profiler context (SURVEY.md §6 tracing: "XLA profiler hooks").
+
+    Usage::
+
+        with profiling.xla_trace("/tmp/jax-trace"):
+            solver(scen, init, duals)
+
+    Writes a TensorBoard-compatible device trace (op timeline, fusion
+    boundaries, HBM traffic) — the deep-dive companion to the wall-clock
+    phase timers above. Thin alias so callers need no jax.profiler import.
+    """
+    import jax.profiler
+
+    return jax.profiler.trace(log_dir)
+
+
+def active_constraints_report(spec, result, scenario) -> Dict[str, float]:
+    """Per-class active-inequality counters at the returned iterate
+    (SURVEY.md §6 observability: "counters (iterations, KKT residuals,
+    active constraints)"). A constraint counts as active when its value is
+    within tol of the boundary or violated (g > −tol) — the set the AL
+    multipliers are actually shaping. Means are per scenario.
+    """
+    import numpy as np
+
+    from mpc_local_planner_tpu.ocp import constraints as C
+
+    p = result.primal
+    tol = 1e-3
+    out: Dict[str, float] = {}
+
+    def classes_of(p, scenario):
+        # the constraint kernels are unbatched by design (the solver vmaps
+        # them); mirror that here
+        return {
+            "obstacle": C.obstacle_inequalities(spec, p.xs, p.dt, scenario),
+            "rate": C.control_rate_inequalities(spec, p.us, p.dt, scenario.u_prev),
+            "box": C.control_box_inequalities(spec, p.us),
+            "dt": C.dt_inequalities(spec, p.dt, p.xs.dtype),
+            "ball": C.terminal_ball_inequality(spec, p.xs, scenario.xf),
+        }
+
+    batch_ndim = p.xs.ndim - 2  # leading scenario axes, if any
+    fn = classes_of
+    for _ in range(batch_ndim):
+        fn = jax.vmap(fn)
+    classes = fn(p, scenario)
+    for name, g in classes.items():
+        g = np.asarray(g)
+        active = g > -tol
+        per_scen = active.reshape(active.shape[:batch_ndim] + (-1,)).sum(-1)
+        out[f"active_{name}_mean"] = float(per_scen.mean())
+        out[f"active_{name}_max"] = int(per_scen.max()) if per_scen.size else 0
+    return out
+
+
 def convergence_report(result) -> Dict[str, float]:
     """Ensemble convergence/feasibility counters (SURVEY.md §6 metrics)."""
     import numpy as np

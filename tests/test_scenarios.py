@@ -99,6 +99,62 @@ def test_scenario_reaches_goal_with_clearance(name, costmap, start, goal):
     assert vetoes < 0.5 * traj.shape[0], f"{name}: {vetoes} vetoes"
 
 
+CARLIKE_CFG = """
+controller:
+  xy_goal_tolerance: 0.3
+  yaw_goal_tolerance: 3.2
+  global_plan_overwrite_orientation: true
+  global_plan_prune_distance: 1.0
+  max_global_plan_lookahead_dist: 1.8
+robot:
+  type: simple_car
+  simple_car:
+    wheelbase: 0.4
+    max_vel_x: 0.4
+    max_vel_x_backwards: 0.2
+    max_steering_angle: 1.0
+grid:
+  grid_size_ref: 15
+  dt_ref: 0.3
+  xf_fixed: [true, true, false]
+  variable_grid:
+    enable: true
+    min_dt: 0.001
+    max_dt: 0.6
+planning:
+  objective:
+    type: minimum_time
+collision:
+  min_obstacle_dist: 0.1
+  cutoff_dist: 2.8
+  force_inclusion_dist: 0.8
+  obstacle_capacity: 128
+footprint_model:
+  type: two_circles
+  front_offset: 0.12
+  front_radius: 0.15
+  rear_offset: -0.12
+  rear_radius: 0.15
+solver:
+  tol_eq: 0.001
+  tol_ineq: 0.001
+"""
+
+
+def test_carlike_min_time_two_rooms():
+    """Ackermann min-time robot drives the door-passage scenario (parity:
+    the reference's carlike Stage demos — carlike_minimum_time.launch)."""
+    cm = two_rooms(door_width=1.0, resolution=0.1)
+    cfg = load_config(CARLIKE_CFG)
+    reached, traj, vetoes = run_episode(
+        cfg, cm, np.asarray((0.8, 0.8, 0.3)), np.asarray((5.2, 5.2, 0.5)),
+        robot_radius=0.3, max_cycles=260,
+    )
+    assert reached, f"goal not reached (final {traj[-1]}, {vetoes} vetoes)"
+    clr = min_clearance(cm, traj)
+    assert clr > 0.15, f"clearance {clr:.3f}"
+
+
 DYN_CFG = """
 controller:
   xy_goal_tolerance: 0.25

@@ -49,7 +49,7 @@ def load() -> Optional[ctypes.CDLL]:
     lib.mpc_tracker_update.restype = ctypes.c_int
     lib.mpc_tracker_update.argtypes = [
         dp, ctypes.c_int, dp, ctypes.c_int, ctypes.c_double, ctypes.c_double,
-        ctypes.c_double, ip, dp, ctypes.c_int,
+        ctypes.c_double, ip, dp, ctypes.c_int, ctypes.c_int,
     ]
     lib.mpc_costmap_extract_polygons.restype = ctypes.c_int
     lib.mpc_costmap_extract_polygons.argtypes = [
@@ -137,21 +137,28 @@ def cluster_centroids(
 def tracker_update(
     prev_tracks: np.ndarray, centroids: np.ndarray, dt: float,
     gate_dist: float = 0.6, vel_alpha: float = 0.5, next_id: int = 0,
-    max_out: int = 64,
+    max_out: int = 64, max_missed: int = 2,
 ):
-    """Frame-to-frame centroid tracking with velocity estimation (parity:
+    """Frame-to-frame centroid tracking with velocity estimation and
+    coasting through up to ``max_missed`` missed detections (parity:
     CostmapToDynamicObstacles blob tracker). Tracks are rows of
-    (id, x, y, vx, vy, age). Returns (tracks (T, 6), next_id)."""
+    (id, x, y, vx, vy, age, missed, radius); centroids (M, 2) xy or (M, 3)
+    xy + radius. Returns (tracks (T, 8), next_id)."""
     lib = load()
-    prev = np.ascontiguousarray(np.asarray(prev_tracks, dtype=np.float64).reshape(-1, 6))
-    cur = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64).reshape(-1, 2))
-    out = np.empty((max_out, 6), dtype=np.float64)
+    prev = np.ascontiguousarray(np.asarray(prev_tracks, dtype=np.float64).reshape(-1, 8))
+    cur = np.asarray(centroids, dtype=np.float64)
+    cur = cur.reshape(-1, cur.shape[-1] if cur.size else 2)
+    if cur.shape[-1] == 2:
+        cur = np.concatenate([cur, np.zeros((cur.shape[0], 1))], axis=1)
+    cur = np.ascontiguousarray(cur)
+    out = np.empty((max_out, 8), dtype=np.float64)
     nid = ctypes.c_int(int(next_id))
     n = lib.mpc_tracker_update(
         prev.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), prev.shape[0],
         cur.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cur.shape[0],
         float(dt), float(gate_dist), float(vel_alpha), ctypes.byref(nid),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), max_out,
+        int(max_missed),
     )
     return out[:n].copy(), int(nid.value)
 

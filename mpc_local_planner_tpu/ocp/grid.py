@@ -155,10 +155,11 @@ def warm_start_resample(primal: Primal, x0, steps: int = 1, spec=None) -> Primal
     frac = (pos - i0.astype(dtype))[:, None]  # (N+1, 1), broadcasts over batch
     xa = jnp.take(primal.xs, i0, axis=-2)
     xb = jnp.take(primal.xs, i0 + 1, axis=-2)
-    from mpc_local_planner_tpu.core.so2 import normalize_angle, se2_boxminus
+    from mpc_local_planner_tpu.core.so2 import _wrap_theta, se2_boxminus
 
-    xs = xa + frac * se2_boxminus(xb, xa)
-    xs = xs.at[..., 2].set(normalize_angle(xs[..., 2]))
+    # frac (N+1, 1) broadcasts over any leading batch dims; _wrap_theta is
+    # the shared scatter-free angle wrap
+    xs = _wrap_theta(xa + frac * se2_boxminus(xb, xa))
     xs = xs.at[..., 0, :].set(x0)
     pos_u = steps + jnp.arange(N, dtype=dtype) * (N - steps) / N
     iu = jnp.clip(jnp.round(pos_u).astype(jnp.int32), 0, N - 1)
@@ -266,11 +267,10 @@ def adapt_grid_nonuniform(primal: Primal, duals, *, control_box,
         new_N = N - 1
     else:
         k = split_k
-        from mpc_local_planner_tpu.core.so2 import normalize_angle, se2_boxminus
+        from mpc_local_planner_tpu.core.so2 import se2_interpolate
 
         xa, xb = primal.xs[..., k, :], primal.xs[..., k + 1, :]
-        xm = xa + 0.5 * se2_boxminus(xb, xa)
-        xm = xm.at[..., 2].set(normalize_angle(xm[..., 2]))
+        xm = se2_interpolate(xa, xb, 0.5)
         xs = jnp.concatenate(
             [primal.xs[..., : k + 1, :], xm[..., None, :], primal.xs[..., k + 1 :, :]],
             axis=-2,
@@ -313,15 +313,14 @@ def resize_primal(primal: Primal, new_N: int, spec=None) -> Primal:
     if new_N == N:
         return primal
     dtype = primal.xs.dtype
-    from mpc_local_planner_tpu.core.so2 import normalize_angle, se2_boxminus
+    from mpc_local_planner_tpu.core.so2 import _wrap_theta, se2_boxminus
 
     pos = jnp.arange(new_N + 1, dtype=dtype) * (N / new_N)
     i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, N - 1)
     frac = (pos - i0.astype(dtype))[:, None]  # (new_N+1, 1), broadcasts over batch
     xa = jnp.take(primal.xs, i0, axis=-2)
     xb = jnp.take(primal.xs, i0 + 1, axis=-2)
-    xs = xa + frac * se2_boxminus(xb, xa)
-    xs = xs.at[..., 2].set(normalize_angle(xs[..., 2]))
+    xs = _wrap_theta(xa + frac * se2_boxminus(xb, xa))
     iu = jnp.clip(
         jnp.round(jnp.arange(new_N, dtype=dtype) * (N / new_N)).astype(jnp.int32),
         0, N - 1,

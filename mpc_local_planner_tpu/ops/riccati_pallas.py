@@ -219,7 +219,8 @@ def make_lqr_solve_auto(nx: int, free_tau: bool):
         )
         use_pallas = (
             args[0].dtype == jnp.float32
-            and jax.default_backend() not in ("cpu",)
+            and jax.default_backend() == "tpu"  # Mosaic/VMEM is TPU-only;
+            # GPU and CPU both take the vmapped XLA scan
         )
         if use_pallas:
             out = lqr_solve_pallas(*args, nx=nx, free_tau=free_tau)

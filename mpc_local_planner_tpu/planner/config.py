@@ -212,6 +212,10 @@ class CollisionNs:
     # dynamic-converter tracker parameters (parity: CostmapToDynamicObstacles)
     tracker_gate_dist: float = 0.6
     tracker_vel_alpha: float = 0.5
+    # frames an unmatched track coasts on its constant-velocity prediction
+    # before being dropped (parity: the reference's Kalman tracks surviving
+    # missed detections; 0 = drop immediately)
+    tracker_max_missed: int = 2
     # foreground/background separation (parity: CostmapToDynamicObstacles
     # background subtraction + chained static converter): tracks slower than
     # this are background — their cells go through the static point path

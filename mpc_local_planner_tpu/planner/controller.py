@@ -228,7 +228,13 @@ class Controller:
         )
         live_N, old_live = self._spec.N, self._spec
 
-        self.__init__(new_cfg, batch=self.batch, dtype=self.dtype)
+        # validate the new config on a THROWAWAY instance first: __init__
+        # raises on bad combinations, and mutating self before that check
+        # would leave a half-reconfigured live controller (rejected config
+        # visible in self.config/spec while the solver dispatch and program
+        # cache still serve the old problem)
+        fresh = Controller(new_cfg, batch=self.batch, dtype=self.dtype)
+        self.__dict__.update(fresh.__dict__)
 
         if state[0] is None:
             return False

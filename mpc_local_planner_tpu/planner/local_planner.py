@@ -288,33 +288,53 @@ def tracker_update(
     vel_alpha: float = 0.5,
     next_id: int = 0,
     max_out: int = 64,
+    max_missed: int = 2,
 ):
     """Greedy nearest-neighbor blob tracker with exponential velocity
-    smoothing. Tracks: rows (id, x, y, vx, vy, age). Parity:
-    CostmapToDynamicObstacles velocity estimation (python fallback of native
-    mpc_tracker_update). Returns (tracks, next_id)."""
-    prev = np.asarray(prev_tracks, dtype=np.float64).reshape(-1, 6)
-    cur = np.asarray(centroids, dtype=np.float64).reshape(-1, 2)
+    smoothing and coasting. Tracks: rows (id, x, y, vx, vy, age, missed,
+    radius). Parity: CostmapToDynamicObstacles velocity estimation — its
+    Kalman tracks survive missed detections; here an unmatched track coasts
+    on its constant-velocity prediction for up to ``max_missed`` frames
+    before being dropped, so one clustering flicker does not reset a moving
+    obstacle's smoothed velocity to zero (and demote it to background).
+    ``centroids``: (M, 2) xy or (M, 3) xy + bounding radius. Matching gates
+    against the PREDICTED position (x + vx·dt). Python fallback of native
+    mpc_tracker_update. Returns (tracks, next_id)."""
+    prev = np.asarray(prev_tracks, dtype=np.float64).reshape(-1, 8)
+    cur = np.asarray(centroids, dtype=np.float64)
+    cur = cur.reshape(-1, cur.shape[-1] if cur.size else 2)
+    radii = cur[:, 2] if cur.shape[-1] > 2 else np.zeros(cur.shape[0])
+    pred = prev[:, 1:3] + dt * prev[:, 3:5]
     used = np.zeros(prev.shape[0], dtype=bool)
     rows = []
-    for c in cur[:max_out]:
+    for c, r in zip(cur[:max_out, :2], radii[:max_out]):
         best, best_d = -1, gate_dist
         for p in range(prev.shape[0]):
             if used[p]:
                 continue
-            d = float(np.linalg.norm(c - prev[p, 1:3]))
+            d = float(np.linalg.norm(c - pred[p]))
             if d < best_d:
                 best, best_d = p, d
         if best >= 0 and dt > 1e-9:
             used[best] = True
             mv = (c - prev[best, 1:3]) / dt
             v = vel_alpha * mv + (1.0 - vel_alpha) * prev[best, 3:5]
-            rows.append([prev[best, 0], c[0], c[1], v[0], v[1], prev[best, 5] + 1])
+            rows.append([prev[best, 0], c[0], c[1], v[0], v[1],
+                         prev[best, 5] + 1, 0.0, r])
         else:
-            rows.append([next_id, c[0], c[1], 0.0, 0.0, 0.0])
+            rows.append([next_id, c[0], c[1], 0.0, 0.0, 0.0, 0.0, r])
             next_id += 1
+    # coast unmatched tracks on their constant-velocity prediction
+    for p in range(prev.shape[0]):
+        if used[p] or prev[p, 6] + 1 > max_missed:
+            continue
+        if len(rows) >= max_out:
+            break
+        rows.append([prev[p, 0], pred[p, 0], pred[p, 1],
+                     prev[p, 3], prev[p, 4], prev[p, 5] + 1,
+                     prev[p, 6] + 1, prev[p, 7]])
     return (
-        np.asarray(rows) if rows else np.zeros((0, 6)),
+        np.asarray(rows) if rows else np.zeros((0, 8)),
         next_id,
     )
 
@@ -401,7 +421,7 @@ class LocalPlanner:
         self.last_ocp_result = None
         # dynamic-obstacle tracker state (costmap_converter == "dynamic";
         # persists across plans — map obstacles outlive any one goal)
-        self._tracks = np.zeros((0, 6))
+        self._tracks = np.zeros((0, 8))
         self._next_track_id = 0
 
     def set_plan(self, plan: np.ndarray) -> None:
@@ -511,12 +531,13 @@ class LocalPlanner:
                     native.tracker_update if native.available() else tracker_update
                 )
                 self._tracks, self._next_track_id = upd(
-                    self._tracks, cen[:, :2] if cen.size else np.zeros((0, 2)),
+                    self._tracks, cen if cen.size else np.zeros((0, 3)),
                     dt=self.config.grid.dt_ref,
                     gate_dist=col.tracker_gate_dist,
                     vel_alpha=col.tracker_vel_alpha,
                     next_id=self._next_track_id,
                     max_out=col.dynamic_capacity,
+                    max_missed=col.tracker_max_missed,
                 )
                 # foreground/background separation (parity: the reference's
                 # CostmapToDynamicObstacles subtracts a background model and
@@ -526,13 +547,15 @@ class LocalPlanner:
                 # through the static point path below, with the fast blobs'
                 # cells excluded so the pedestrian is not double-represented
                 # as a frozen point cloud the solver could never clear.
+                # Circles come from the TRACKS (rows carry position +
+                # bounding radius), so a track coasting through a missed
+                # detection keeps constraining the solver.
                 exclusions = []  # (cx, cy, r) of fast blobs
-                # tracker rows correspond 1:1 (in order) to the centroids fed
-                for row, cc in zip(self._tracks, cen):
+                for row in self._tracks:
                     if np.hypot(row[3], row[4]) >= col.dynamic_min_speed:
-                        dyn_circles.append((row[1], row[2], cc[2]))
+                        dyn_circles.append((row[1], row[2], row[7]))
                         dyn_vels.append((row[3], row[4]))
-                        exclusions.append((cc[0], cc[1], cc[2]))
+                        exclusions.append((row[1], row[2], row[7]))
                 pfn = (
                     native.extract_points
                     if native.available()

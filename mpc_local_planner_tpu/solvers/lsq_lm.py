@@ -168,9 +168,13 @@ def solve_single_lm(
     eye = jnp.eye(n, dtype=dtype)
 
     def lm_iter(_, carry):
-        z, S, lam, w_eq, w_ineq = carry
-        r = residual(z, w_eq, w_ineq)
-        J = jax.jacfwd(residual)(z, w_eq, w_ineq)
+        # (r, J) always correspond to z: recomputed only on acceptance — a
+        # rejected step leaves the iterate (and therefore its residual and
+        # Jacobian, the expensive parts) unchanged, so retrying with larger
+        # damping reuses them. Batched (vmapped) lanes execute both cond
+        # branches anyway (no loss vs recompute); the single-robot
+        # non-uniform-grid path skips the redundant jacfwd on rejections.
+        z, S, lam, r, J, w_eq, w_ineq = carry
         A = J.T @ J
         g = J.T @ r
         # Marquardt scaling: damp proportionally to the curvature diagonal
@@ -181,20 +185,28 @@ def solve_single_lm(
             -g,
         )
         z_new = sanitize(z + p)
-        S_new = merit(z_new, w_eq, w_ineq)
+        r_new = residual(z_new, w_eq, w_ineq)
+        S_new = 0.5 * jnp.sum(r_new * r_new)
         ok = jnp.logical_and(S_new < S, jnp.isfinite(S_new))
-        z = jnp.where(ok, z_new, z)
-        S = jnp.where(ok, S_new, S)
-        lam = jnp.where(ok, lam / 3.0, lam * 4.0)
+        z, S, lam, r, J = jax.lax.cond(
+            ok,
+            lambda: (z_new, S_new, lam / 3.0,
+                     r_new, jax.jacfwd(residual)(z_new, w_eq, w_ineq)),
+            lambda: (z, S, lam * 4.0, r, J),
+        )
         lam = jnp.clip(lam, 1e-10, 1e10)
-        return z, S, lam, w_eq, w_ineq
+        return z, S, lam, r, J, w_eq, w_ineq
 
     def outer_iter(_, carry):
         z, w_eq, w_ineq = carry
-        S0 = merit(z, w_eq, w_ineq)
+        # the penalty weights changed: (r, J) must be rebuilt at this phase's
+        # weights before the inner loop can reuse them
+        r0 = residual(z, w_eq, w_ineq)
+        J0 = jax.jacfwd(residual)(z, w_eq, w_ineq)
+        S0 = 0.5 * jnp.sum(r0 * r0)
         lam0 = jnp.asarray(1e-3, dtype)
-        z, _, _, _, _ = jax.lax.fori_loop(
-            0, settings.n_sqp, lm_iter, (z, S0, lam0, w_eq, w_ineq)
+        z, _, _, _, _, _, _ = jax.lax.fori_loop(
+            0, settings.n_sqp, lm_iter, (z, S0, lam0, r0, J0, w_eq, w_ineq)
         )
         # penalty weight adaptation (cbr: SolverLeastSquares::adaptWeights)
         w_eq = jnp.minimum(w_eq * settings.rho_growth, settings.rho_max)

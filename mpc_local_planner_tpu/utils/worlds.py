@@ -67,12 +67,16 @@ class WorldBuilder:
         gaps = gaps or []
         if abs(x1 - x0) >= abs(y1 - y0):  # horizontal
             lo, hi = min(x0, x1), max(x0, x1)
-            segs = _split_segments(lo, hi, [(min(x0, x1) + c, w) for c, w in gaps])
+            # gap centers are measured from the DECLARED start (x0, y0), so a
+            # wall drawn right-to-left places its doors from its own start
+            sgn = 1.0 if x1 >= x0 else -1.0
+            segs = _split_segments(lo, hi, [(x0 + sgn * c, w) for c, w in gaps])
             for a, b in segs:
                 self.add_box(a, y0 - thickness / 2, b, y0 + thickness / 2)
         else:  # vertical
             lo, hi = min(y0, y1), max(y0, y1)
-            segs = _split_segments(lo, hi, [(min(y0, y1) + c, w) for c, w in gaps])
+            sgn = 1.0 if y1 >= y0 else -1.0
+            segs = _split_segments(lo, hi, [(y0 + sgn * c, w) for c, w in gaps])
             for a, b in segs:
                 self.add_box(x0 - thickness / 2, a, x0 + thickness / 2, b)
         return self

@@ -314,36 +314,47 @@ int mpc_costmap_cluster_centroids(const uint8_t* data, int H, int W,
 // Greedy nearest-neighbor association within gate_dist. Unmatched current
 // centroids open new tracks (ids from *next_id, incremented); unmatched
 // previous tracks are dropped. Returns the new track count.
+// Tracks are 8-double rows (id, x, y, vx, vy, age, missed, radius).
+// Centroids are 3-double rows (x, y, bounding radius). Matching gates
+// against the constant-velocity PREDICTED track position; unmatched tracks
+// coast on that prediction for up to max_missed frames before being
+// dropped (parity: CostmapToDynamicObstacles' Kalman tracks surviving
+// missed detections — one clustering flicker must not reset a moving
+// obstacle's velocity to zero).
 int mpc_tracker_update(const double* prev, int n_prev, const double* cur,
                        int n_cur, double dt, double gate_dist,
                        double vel_alpha, int* next_id, double* out,
-                       int max_out) {
+                       int max_out, int max_missed) {
   std::vector<char> prev_used(n_prev, 0);
   int n_out = 0;
   for (int c = 0; c < n_cur && n_out < max_out; ++c) {
-    const double cx = cur[2 * c], cy = cur[2 * c + 1];
+    const double cx = cur[3 * c], cy = cur[3 * c + 1], cr = cur[3 * c + 2];
     int best = -1;
     double best_d2 = gate_dist * gate_dist;
     for (int p = 0; p < n_prev; ++p) {
       if (prev_used[p]) continue;
-      const double dx = cx - prev[6 * p + 1], dy = cy - prev[6 * p + 2];
+      const double px = prev[8 * p + 1] + dt * prev[8 * p + 3];
+      const double py = prev[8 * p + 2] + dt * prev[8 * p + 4];
+      const double dx = cx - px, dy = cy - py;
       const double d2 = dx * dx + dy * dy;
       if (d2 < best_d2) {
         best_d2 = d2;
         best = p;
       }
     }
-    double* o = out + 6 * n_out;
+    double* o = out + 8 * n_out;
     if (best >= 0 && dt > 1e-9) {
       prev_used[best] = 1;
-      const double mvx = (cx - prev[6 * best + 1]) / dt;
-      const double mvy = (cy - prev[6 * best + 2]) / dt;
-      o[0] = prev[6 * best + 0];
+      const double mvx = (cx - prev[8 * best + 1]) / dt;
+      const double mvy = (cy - prev[8 * best + 2]) / dt;
+      o[0] = prev[8 * best + 0];
       o[1] = cx;
       o[2] = cy;
-      o[3] = vel_alpha * mvx + (1.0 - vel_alpha) * prev[6 * best + 3];
-      o[4] = vel_alpha * mvy + (1.0 - vel_alpha) * prev[6 * best + 4];
-      o[5] = prev[6 * best + 5] + 1.0;
+      o[3] = vel_alpha * mvx + (1.0 - vel_alpha) * prev[8 * best + 3];
+      o[4] = vel_alpha * mvy + (1.0 - vel_alpha) * prev[8 * best + 4];
+      o[5] = prev[8 * best + 5] + 1.0;
+      o[6] = 0.0;
+      o[7] = cr;
     } else {
       o[0] = static_cast<double>((*next_id)++);
       o[1] = cx;
@@ -351,7 +362,22 @@ int mpc_tracker_update(const double* prev, int n_prev, const double* cur,
       o[3] = 0.0;
       o[4] = 0.0;
       o[5] = 0.0;
+      o[6] = 0.0;
+      o[7] = cr;
     }
+    ++n_out;
+  }
+  for (int p = 0; p < n_prev && n_out < max_out; ++p) {
+    if (prev_used[p] || prev[8 * p + 6] + 1.0 > max_missed) continue;
+    double* o = out + 8 * n_out;
+    o[0] = prev[8 * p + 0];
+    o[1] = prev[8 * p + 1] + dt * prev[8 * p + 3];
+    o[2] = prev[8 * p + 2] + dt * prev[8 * p + 4];
+    o[3] = prev[8 * p + 3];
+    o[4] = prev[8 * p + 4];
+    o[5] = prev[8 * p + 5] + 1.0;
+    o[6] = prev[8 * p + 6] + 1.0;
+    o[7] = prev[8 * p + 7];
     ++n_out;
   }
   return n_out;

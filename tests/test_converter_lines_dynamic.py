@@ -55,17 +55,45 @@ def test_native_line_extraction_matches_python():
 
 @pytest.mark.skipif(not native.available(), reason="native library not built")
 def test_native_tracker_matches_python():
-    cen0 = np.array([[1.0, 1.0], [3.0, 2.0]])
-    cen1 = cen0 + np.array([[0.2, 0.0], [0.0, -0.1]])
-    for upd in (tracker_update,):
-        t_py, nid_py = tracker_update(np.zeros((0, 6)), cen0, dt=0.1)
-        t_py, nid_py = tracker_update(t_py, cen1, dt=0.1, vel_alpha=1.0, next_id=nid_py)
-    t_c, nid_c = native.tracker_update(np.zeros((0, 6)), cen0, dt=0.1)
+    cen0 = np.array([[1.0, 1.0, 0.2], [3.0, 2.0, 0.3]])
+    cen1 = cen0 + np.array([[0.2, 0.0, 0.0], [0.0, -0.1, 0.0]])
+    t_py, nid_py = tracker_update(np.zeros((0, 8)), cen0, dt=0.1)
+    t_py, nid_py = tracker_update(t_py, cen1, dt=0.1, vel_alpha=1.0, next_id=nid_py)
+    t_c, nid_c = native.tracker_update(np.zeros((0, 8)), cen0, dt=0.1)
     t_c, nid_c = native.tracker_update(t_c, cen1, dt=0.1, vel_alpha=1.0, next_id=nid_c)
     np.testing.assert_allclose(t_py, t_c, atol=1e-12)
     assert nid_py == nid_c
     np.testing.assert_allclose(t_c[0, 3:5], [2.0, 0.0], atol=1e-9)
     np.testing.assert_allclose(t_c[1, 3:5], [0.0, -1.0], atol=1e-9)
+    np.testing.assert_allclose(t_c[:, 7], [0.2, 0.3], atol=1e-12)  # radii carried
+
+
+def test_tracker_coasts_through_missed_detection():
+    """A track with no matching centroid coasts on its constant-velocity
+    prediction (velocity and id preserved) for max_missed frames, then
+    rematches a reappearing blob (parity: CostmapToDynamicObstacles' Kalman
+    tracks surviving missed detections)."""
+    impls = [tracker_update] + ([native.tracker_update] if native.available() else [])
+    for upd in impls:
+        t, nid = upd(np.zeros((0, 8)), np.array([[1.0, 1.0, 0.2]]), dt=0.1)
+        t, nid = upd(t, np.array([[1.05, 1.0, 0.2]]), dt=0.1, vel_alpha=1.0, next_id=nid)
+        assert abs(t[0, 3] - 0.5) < 1e-9  # vx = 0.05 / 0.1
+        tid = t[0, 0]
+        # frame with NO detections: the track coasts, not dies
+        t, nid = upd(t, np.zeros((0, 3)), dt=0.1, next_id=nid)
+        assert t.shape[0] == 1 and t[0, 0] == tid
+        assert abs(t[0, 1] - 1.10) < 1e-9   # coasted x += vx*dt
+        assert abs(t[0, 3] - 0.5) < 1e-9    # velocity preserved
+        assert t[0, 6] == 1.0               # missed counter
+        # the blob reappears near the prediction: same id, missed resets
+        t, nid = upd(t, np.array([[1.15, 1.0, 0.2]]), dt=0.1,
+                     vel_alpha=1.0, next_id=nid)
+        assert t.shape[0] == 1 and t[0, 0] == tid and t[0, 6] == 0.0
+        # beyond max_missed the track dies
+        t2 = t
+        for _ in range(3):
+            t2, nid = upd(t2, np.zeros((0, 3)), dt=0.1, next_id=nid, max_missed=2)
+        assert t2.shape[0] == 0
 
 
 def test_force_inclusion_dist_bypasses_behind_filter():

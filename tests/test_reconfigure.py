@@ -79,6 +79,26 @@ def test_reconfigure_weights_keeps_warm_state_and_takes_effect():
     assert float(jnp.linalg.norm(r1.u0)) < float(jnp.linalg.norm(r0.u0))
 
 
+def test_reconfigure_rejected_update_leaves_controller_untouched():
+    """A reconfigure that fails validation must be atomic: the live
+    controller keeps its old config, solver dispatch, warm state, and
+    compiled programs (no half-mutated state)."""
+    ctrl = Controller(load_config(BASE), dtype=jnp.float32)
+    r0 = ctrl.step(_scen())
+    cache_keys = set(ctrl._cache.keys())
+    # non_uniform grid requires lsq_lm → Controller.__init__ raises
+    with pytest.raises(ValueError, match="lsq_lm"):
+        ctrl.reconfigure({"grid": {"type": "non_uniform_fd_grid",
+                                   "variable_grid": {"enable": True}}})
+    assert ctrl.config.grid.type == "fd_grid"
+    assert not ctrl.spec.nonuniform_dt
+    assert ctrl._primal is not None
+    assert set(ctrl._cache.keys()) == cache_keys
+    # and it still steps fine on the old problem
+    r1 = ctrl.step(_scen())
+    assert r1.x_seq.values.shape == r0.x_seq.values.shape
+
+
 def test_reconfigure_structural_change_resets_state():
     ctrl = Controller(load_config(BASE), dtype=jnp.float32)
     ctrl.step(_scen())

@@ -77,6 +77,28 @@ def test_load_reference_style_yaml():
     assert settings.n_al == 6 and settings.n_sqp == 8
 
 
+def test_all_example_configs_load_and_transcribe():
+    """Every shipped canonical config (parity: the four Stage-demo YAMLs in
+    mpc_local_planner_examples/cfg) loads through the reference-style
+    namespace parser and produces a consistent OCP spec."""
+    import pathlib
+
+    cfg_dir = pathlib.Path(__file__).resolve().parent.parent / "examples" / "cfg"
+    paths = sorted(cfg_dir.glob("*.yaml"))
+    names = {p.stem for p in paths}
+    assert {
+        "diff_drive_minimum_time",
+        "diff_drive_quadratic_form",
+        "carlike_minimum_time",
+        "carlike_quadratic_form",
+    } <= names
+    for p in paths:
+        cfg = load_config(p.read_text())
+        spec = cfg.to_ocp_spec()
+        assert spec.N == cfg.grid.grid_size_ref
+        cfg.solver_settings(spec)
+
+
 def test_unknown_config_key_rejected():
     import pytest
 

@@ -289,12 +289,19 @@ def adapt_grid_nonuniform(primal: Primal, duals, *, control_box,
 
     ix = jnp.asarray(dual_ix)
     rs = lambda a: jnp.take(a, ix, axis=-2)  # noqa: E731
+    # the per-interval dt-box multipliers are stage-indexed [hi, lo] pairs
+    # flattened to (..., 2N) — remap them through the same index map
+    mu_dt = duals.mu_dt
+    if mu_dt.shape[-1] == 2 * N:
+        s2 = mu_dt.shape[:-1] + (N, 2)
+        mu_dt = rs(mu_dt.reshape(s2)).reshape(mu_dt.shape[:-1] + (2 * new_N,))
     duals = dataclasses.replace(
         duals,
         lam_def=rs(duals.lam_def),
         mu_obs=rs(duals.mu_obs),
         mu_rate=rs(duals.mu_rate),
         mu_box=rs(duals.mu_box),
+        mu_dt=mu_dt,
     )
     return Primal(xs=xs, us=us_n, dt=dt_n), duals, new_N
 

@@ -71,9 +71,10 @@ class OcpSpec:
     # non_uniform_finite_differences_variable_grid.h — NonUniformFiniteDifferences
     # VariableGrid: each interval owns its dt, bounds apply per stage, the
     # min-time objective becomes Σ dt_k). Primal.dt is (..., N) when set.
-    # Solved by the generic-AD solvers (lsq_lm, golden); the structured
-    # Riccati AL-SQP path is uniform-dt by design (one shared tau rides the
-    # augmented state — see solvers/riccati.py).
+    # Solved by all solvers: the structured Riccati AL-SQP path treats δdt_k
+    # as an extra control column of stage k (see solvers/riccati.py ::
+    # build_augmented_transition_nonuniform); lsq_lm and golden solve the
+    # generic-AD form.
     nonuniform_dt: bool = False
     limits: RobotLimits = dataclasses.field(default_factory=RobotLimits)
     min_obstacle_dist: float = 0.5

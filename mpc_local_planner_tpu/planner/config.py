@@ -88,7 +88,8 @@ class GridNs:
     #: fd_grid → uniform dt (one shared dt, FiniteDifferencesVariableGridSE2);
     #: non_uniform_fd_grid → per-stage dt decision variables (parity:
     #: cbr NonUniformFiniteDifferencesVariableGrid); requires
-    #: variable_grid.enable and solver.type: lsq_lm.
+    #: variable_grid.enable; solved by either solver.type (al_sqp treats
+    #: each δdt_k as an extra control column in the Riccati sweep).
     type: str = "fd_grid"
     grid_size_ref: int = 20
     dt_ref: float = 0.3

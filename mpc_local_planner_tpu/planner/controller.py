@@ -66,11 +66,6 @@ class Controller:
         # solver backend dispatch (parity: the reference's solver plugin
         # choice — ipopt vs levenberg_marquardt_dense; SURVEY §3.2)
         if config.solver.type == "al_sqp":
-            if self.spec.nonuniform_dt:
-                raise ValueError(
-                    "grid.type: non_uniform_fd_grid requires solver.type: "
-                    "lsq_lm (the structured Riccati path is uniform-dt)"
-                )
             self._solve_single = solve_single
         elif config.solver.type == "lsq_lm":
             from mpc_local_planner_tpu.solvers.lsq_lm import solve_single_lm

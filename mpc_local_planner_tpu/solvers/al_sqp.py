@@ -66,6 +66,14 @@ class SolverSettings:
     reg_max: float = 1.0e8
     alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1, 0.03)
     dt_trust_frac: float = 0.3
+    # proximal damping on the per-stage δdt columns (non-uniform grids only).
+    # Min-time on a per-stage-dt grid has a degenerate reparameterization
+    # family — re-slicing time between adjacent intervals leaves Σ dt_k
+    # unchanged, so the QP sees near-zero curvature along those directions
+    # and the iterates wander between basins (observed: convergence flipping
+    # on compile-level numerical noise). Damping the dt *steps* (curvature
+    # only — fixed points are untouched) removes the wandering.
+    dt_prox: float = 1.0
     viol_decrease_req: float = 0.25
     tol_eq: float = 1.0e-4
     tol_ineq: float = 1.0e-4
@@ -140,13 +148,18 @@ def shift_duals(duals: DualState, settings: SolverSettings, steps: int = 1) -> D
         src = jnp.minimum(jnp.arange(n) + steps, n - 1)
         return jnp.take(a, src, axis=-2)
 
+    mu_dt = duals.mu_dt
+    if mu_dt.shape[-1] > 2:
+        # non-uniform grid: per-interval [hi, lo] pairs are stage-indexed
+        s2 = mu_dt.shape[:-1] + (-1, 2)
+        mu_dt = roll(mu_dt.reshape(s2)).reshape(mu_dt.shape)
     return DualState(
         lam_def=roll(duals.lam_def),
         lam_term=duals.lam_term,
         mu_obs=roll(duals.mu_obs),
         mu_rate=roll(duals.mu_rate),
         mu_box=roll(duals.mu_box),
-        mu_dt=duals.mu_dt,
+        mu_dt=mu_dt,
         mu_ball=duals.mu_ball,
         rho=jnp.full_like(duals.rho, settings.rho0),
     )
@@ -161,7 +174,9 @@ def init_duals(spec: OcpSpec, settings: SolverSettings, dtype=jnp.float32) -> Du
         mu_obs=z(N, M),
         mu_rate=z(N, 2 * nu),
         mu_box=z(N, 2 * nu),
-        mu_dt=z(2),
+        # non-uniform grid: one [hi, lo] dt-box multiplier pair per interval
+        # (flattened to match constraints.dt_inequalities' row order)
+        mu_dt=z(2 * N) if spec.nonuniform_dt else z(2),
         mu_ball=z(1),
         rho=jnp.asarray(settings.rho0, dtype=dtype),
     )
@@ -193,6 +208,7 @@ class StageData(NamedTuple):
     obs_on: jax.Array    # () 1.0 if the obstacle term is active at this stage
     mu_rate: jax.Array   # (2*nu,)
     mu_box: jax.Array    # (2*nu,)
+    mu_dt: jax.Array     # (2,) per-stage dt-box multipliers (nonuniform grid; (0,) otherwise)
     obs: object          # ObstacleSet (unbatched; possibly stage-predicted)
 
 
@@ -225,6 +241,12 @@ def _obstacle_g(spec, x, obs):
 def _make_stage_fns(spec: OcpSpec):
     """Stage-local functions over w = [x (3), u_prev (nu), u (nu), dt (1)].
 
+    Non-uniform per-stage-dt grids (spec.nonuniform_dt) widen the layout to
+    w = [x (3), u_prev (nu), dt_prev (1), u (nu), dt (1)]: dt_k becomes a
+    stage-local decision (an extra control column in the Riccati sweep),
+    dt_{k-1} rides along for the trapezoidal weight ½(dt_{k-1}+dt_k)·lx_k,
+    and the per-interval dt box joins the stage inequalities.
+
     Returns (objective, constraints_vec, merit):
       objective(w, data)        — cost terms only (no AL)
       constraints_vec(w, data)  — stacked g ≤ 0 vector
@@ -239,14 +261,21 @@ def _make_stage_fns(spec: OcpSpec):
     and stall the Riccati steps.
     """
     nu = spec.nu
+    nonu = spec.nonuniform_dt
     lo_u, hi_u = spec.control_box()
     lo_r, hi_r = spec.control_rate_box()
 
     def split(w):
-        return w[0:3], w[3 : 3 + nu], w[3 + nu : 3 + 2 * nu], w[3 + 2 * nu]
+        """→ (x, u_prev, dt_prev, u, dt); dt_prev is None on uniform grids."""
+        if nonu:
+            return (
+                w[0:3], w[3 : 3 + nu], w[3 + nu],
+                w[4 + nu : 4 + 2 * nu], w[4 + 2 * nu],
+            )
+        return w[0:3], w[3 : 3 + nu], None, w[3 + nu : 3 + 2 * nu], w[3 + 2 * nu]
 
     def objective(w, data: StageData):
-        x, up, u, dt = split(w)
+        x, up, dtp, u, dt = split(w)
         dtype = w.dtype
         if spec.objective == "quadratic_form":
             q = jnp.asarray(spec.q_diag, dtype)
@@ -255,10 +284,16 @@ def _make_stage_fns(spec: OcpSpec):
             x_term = jnp.sum(dx * dx * q)
             u_term = jnp.sum(u * u * r)
             if spec.integral_form:
-                # data.iw carries the integration-rule stage weight
-                # (left_sum: 1 everywhere; trapezoidal: ½ at k = 0 — see
-                # costs.quadratic_form_cost for the exact regrouping)
-                c = (data.iw * x_term + u_term) * dt
+                if nonu and spec.cost_integration == "trapezoidal":
+                    # non-uniform trapezoidal regrouping: stage k carries
+                    # ½(dt_{k-1}+dt_k)·lx_k (dt_{-1} = 0) + dt_k·lu_k; the
+                    # ½·dt_{N-1}·lx_N tail lives in the terminal stage.
+                    c = 0.5 * (dtp + dt) * x_term + u_term * dt
+                else:
+                    # data.iw carries the integration-rule stage weight
+                    # (left_sum: 1 everywhere; trapezoidal: ½ at k = 0 — see
+                    # costs.quadratic_form_cost for the exact regrouping)
+                    c = (data.iw * x_term + u_term) * dt
             else:
                 c = x_term + u_term
             if spec.hybrid_time_weight > 0.0:
@@ -268,7 +303,7 @@ def _make_stage_fns(spec: OcpSpec):
         return c + _via_term(spec, x, data.via_pts, data.via_w)
 
     def constraints_vec(w, data: StageData):
-        x, up, u, dt = split(w)
+        x, up, dtp, u, dt = split(w)
         dtype = w.dtype
         parts = []
         if spec.obstacle_cap > 0:
@@ -285,6 +320,11 @@ def _make_stage_fns(spec: OcpSpec):
         parts.append(
             jnp.concatenate([u - jnp.asarray(hi_u, dtype), jnp.asarray(lo_u, dtype) - u])
         )
+        if nonu:
+            # per-interval dt box (parity: per-vertex dt bounds of the
+            # non-uniform variable grid); uniform grids keep the dt box at
+            # the terminal stage instead.
+            parts.append(jnp.stack([dt - spec.dt_max, spec.dt_min - dt]))
         return jnp.concatenate(parts)
 
     def stage_mu(data: StageData):
@@ -293,13 +333,15 @@ def _make_stage_fns(spec: OcpSpec):
             mus.append(data.mu_obs)
         mus.append(data.mu_rate)
         mus.append(data.mu_box)
+        if nonu:
+            mus.append(data.mu_dt)
         return jnp.concatenate(mus)
 
     def active_mask(data: StageData, g):
         """Active-set weight pattern; zeroes the obstacle block at k = 0."""
         on = [
             jnp.broadcast_to(data.obs_on, (spec.obstacle_cap,)),
-            jnp.ones((4 * nu,), g.dtype),
+            jnp.ones((4 * nu + (2 if nonu else 0),), g.dtype),
         ]
         return jnp.concatenate(on) if spec.obstacle_cap > 0 else on[1]
 
@@ -364,9 +406,11 @@ def _make_terminal_fns(spec: OcpSpec):
             parts.append((jnp.sum(dx * dx * s) - spec.ball_radius**2)[None])
         else:
             parts.append(jnp.full((1,), -1.0, dtype))
-        if spec.variable_dt:
+        if spec.variable_dt and not spec.nonuniform_dt:
             parts.append(jnp.stack([dt - spec.dt_max, spec.dt_min - dt]))
         else:
+            # fixed dt, or non-uniform grid (per-interval dt boxes live in
+            # the stage inequalities there): rows inactive
             parts.append(jnp.full((2,), -1.0, dtype))
         return jnp.concatenate(parts)
 
@@ -424,9 +468,17 @@ def _stage_obstacles(spec, scenario, dt, n):
     stage data, not decision-dependent quantities).
     """
     obs0 = scenario.obstacles
-    t = jnp.arange(n, dtype=dt.dtype) * (
-        jax.lax.stop_gradient(dt) if spec.enable_dynamic_obstacles else 0.0
-    )
+    dt = jnp.asarray(dt)
+    if not spec.enable_dynamic_obstacles:
+        t = jnp.zeros((n,), dtype=dt.dtype)
+    elif spec.nonuniform_dt:
+        # stage i sits at t_i = Σ_{j<i} dt_j on the non-uniform grid
+        dt_sg = jax.lax.stop_gradient(dt)
+        t = jnp.concatenate(
+            [jnp.zeros((1,), dt.dtype), jnp.cumsum(dt_sg)]
+        )[:n]
+    else:
+        t = jnp.arange(n, dtype=dt.dtype) * jax.lax.stop_gradient(dt)
     return obs0.predict_stages(t)
 
 
@@ -481,7 +533,8 @@ def _sqp_iteration(
     obs_k=None,
 ):
     N, nx, nu = spec.N, spec.nx, spec.nu
-    nw = nx + 2 * nu + 1
+    nonu = spec.nonuniform_dt
+    nw = nx + 2 * nu + (2 if nonu else 1)
     na = nx + nu + 1
     dtype = primal.xs.dtype
     xs, us, dt = primal.xs, primal.us, primal.dt
@@ -503,7 +556,14 @@ def _sqp_iteration(
     if not spec.variable_dt:
         mcol = jnp.zeros_like(mcol)
     raff = -jnp.einsum("kij,kj->ki", Einv, cvals)
-    Fz, Gz, rz = build_augmented_transition(F, G, mcol, raff, nu=nu)
+    if nonu:
+        from mpc_local_planner_tpu.solvers.riccati import (
+            build_augmented_transition_nonuniform,
+        )
+
+        Fz, Gz, rz = build_augmented_transition_nonuniform(F, G, mcol, raff, nu=nu)
+    else:
+        Fz, Gz, rz = build_augmented_transition(F, G, mcol, raff, nu=nu)
 
     # ---- stage data ----------------------------------------------------- #
     via_w = _via_weights(spec, xs, scenario)          # (N+1, Mv)
@@ -530,12 +590,20 @@ def _sqp_iteration(
         obs_on=obs_on,
         mu_rate=duals.mu_rate,
         mu_box=duals.mu_box,
+        mu_dt=duals.mu_dt.reshape(N, 2) if nonu else jnp.zeros((N, 0), dtype),
         obs=obs_stages,
     )
     u_ext = jnp.concatenate([scenario.u_prev[None], us], axis=0)  # (N+1, nu)
-    ws = jnp.concatenate(
-        [xk, u_ext[:-1], us, jnp.broadcast_to(dt, (N,))[:, None]], axis=-1
-    )  # (N, nw)
+    if nonu:
+        # w = [x, u_prev, dt_prev, u, dt]; dt_{-1} = 0 (trapezoidal edge weight)
+        dtp_col = jnp.concatenate([jnp.zeros((1,), dtype), dt_b[:-1]])
+        ws = jnp.concatenate(
+            [xk, u_ext[:-1], dtp_col[:, None], us, dt_b[:, None]], axis=-1
+        )  # (N, nw)
+    else:
+        ws = jnp.concatenate(
+            [xk, u_ext[:-1], us, dt_b[:, None]], axis=-1
+        )  # (N, nw)
 
     _, stage_cons, stage_merit, stage_hess, stage_gn_w = stage_fns
     # exact AL gradient; Hessian from the hybrid surrogate (exact + obstacle GN)
@@ -546,11 +614,22 @@ def _sqp_iteration(
         ws, sdata, duals.rho, g0, aw
     )
 
-    zi = np.array(list(range(0, nx + nu)) + [nw - 1])
-    ui = np.arange(nx + nu, nx + 2 * nu)
+    if nonu:
+        # z = [x, u_prev, dt_prev] and v = [u, dt] are contiguous in w
+        zi = np.arange(0, nx + nu + 1)
+        ui = np.arange(nx + nu + 1, nw)
+    else:
+        zi = np.array(list(range(0, nx + nu)) + [nw - 1])
+        ui = np.arange(nx + nu, nx + 2 * nu)
     Hzz = Hstage[:, zi[:, None], zi[None, :]]
     Hzu = Hstage[:, zi[:, None], ui[None, :]]
     Huu = Hstage[:, ui[:, None], ui[None, :]]
+    if nonu and settings.dt_prox > 0.0:
+        # proximal damping of the δdt_k columns (see SolverSettings.dt_prox);
+        # constant-operand add — no scatter
+        e_dt = np.zeros((nu + 1, nu + 1))
+        e_dt[nu, nu] = 1.0
+        Huu = Huu + settings.dt_prox * jnp.asarray(e_dt, dtype)
     hz = gstage[:, zi]
     hu = gstage[:, ui]
 
@@ -561,11 +640,16 @@ def _sqp_iteration(
         mu_obs=duals.mu_obs[N - 1],
         lam_term=duals.lam_term,
         mu_ball=duals.mu_ball,
-        mu_dt=duals.mu_dt,
+        # non-uniform grids keep the dt boxes (and their multipliers) at the
+        # stages; the terminal dt rows are inactive there
+        mu_dt=jnp.zeros((2,), dtype) if nonu else duals.mu_dt,
         obs=obs_term,
     )
     _, term_cons, term_eq, term_merit, term_hess, term_gn_w = term_fns
-    wN = jnp.concatenate([xs[N], us[N - 1], dt[None]])
+    # terminal w = [x_N, u_{N-1}, dt_last]; on the non-uniform grid dt_last =
+    # dt_{N-1} — exactly the z_N = [δx_N, δu_{N-1}, δdt_{N-1}] layout, so the
+    # terminal Hessian maps 1:1 onto P_N without reindexing.
+    wN = jnp.concatenate([xs[N], us[N - 1], dt[N - 1 :] if nonu else dt[None]])
     pN = jax.grad(term_merit)(wN, tdata, duals.rho)
     gT0 = term_cons(wN, tdata)
     awT = term_gn_w(tdata, gT0, duals.rho)
@@ -573,7 +657,16 @@ def _sqp_iteration(
 
     # ---- structured KKT solve ------------------------------------------- #
     kkt = "pscan" if settings.horizon_parallel else settings.kkt
-    if kkt == "pscan":
+    if nonu:
+        # per-stage dt: δdt_k is control column nu of stage k (v = [δu, δdt]).
+        # Runs the XLA scan regardless of settings.kkt — the Pallas kernel's
+        # block layout is compiled for the uniform (nu-control) shape.
+        step = lqr_solve(
+            Fz, Gz, rz, Hzz, Hzu, Huu, hz, hu, PN, pN, reg,
+            nx=nx, free_tau=False,
+        )
+        step = step._replace(dus=step.dus[:, :nu], dtau=step.dus[:, nu])
+    elif kkt == "pscan":
         from mpc_local_planner_tpu.solvers.riccati_pscan import lqr_solve_pscan
 
         step = lqr_solve_pscan(
@@ -598,7 +691,7 @@ def _sqp_iteration(
     step_ok = (
         jnp.all(jnp.isfinite(step.dxs))
         & jnp.all(jnp.isfinite(step.dus))
-        & jnp.isfinite(step.dtau)
+        & jnp.all(jnp.isfinite(step.dtau))
     )
     step = step._replace(
         dxs=jnp.where(step_ok, step.dxs, 0.0),
@@ -617,13 +710,27 @@ def _sqp_iteration(
         dt_n = jnp.clip(dt + alpha * step.dtau, dt_lo, dt_hi)
         return Primal(xs=xs_n, us=us_n, dt=dt_n)
 
-    # relative trust region on dt: the linearization degrades quickly in dt
-    # (it divides every collocation residual), so cap the step to a fraction
-    # of the current dt by scaling the whole search direction.
-    alpha_cap = jnp.where(
-        jnp.abs(step.dtau) > 0.0,
-        jnp.minimum(1.0, settings.dt_trust_frac * dt / jnp.maximum(jnp.abs(step.dtau), 1e-30)),
-        1.0,
+    # relative trust region on dt: the merit landscape steepens sharply as dt
+    # shrinks (the collocation defect scales every dynamics residual by dt),
+    # so cap the step to a fraction of the current dt by scaling the whole
+    # search direction. On non-uniform grids the cap is the tightest over all
+    # per-stage dt steps, but each stage's scale is floored at dt_ref:
+    # otherwise one interval collapsed onto dt_min caps EVERY later step at
+    # α ≈ frac·dt_min/|δdt| and the solve stalls — growing an interval back
+    # from the floor is a dt_ref-scale move (the defect is linear in dt for
+    # collocation methods, so large growth steps are safe).
+    dt_scale = jnp.maximum(dt, spec.dt_ref) if nonu else dt
+    alpha_cap = jnp.min(
+        jnp.where(
+            jnp.abs(step.dtau) > 0.0,
+            jnp.minimum(
+                1.0,
+                settings.dt_trust_frac
+                * dt_scale
+                / jnp.maximum(jnp.abs(step.dtau), 1e-30),
+            ),
+            1.0,
+        )
     )
     alphas = jnp.concatenate(
         [jnp.asarray(settings.alphas, dtype) * alpha_cap, jnp.zeros((1,), dtype)]
@@ -725,12 +832,6 @@ def solve_single(
     CPU-parity at f32; the KKT blocks are tiny, so the extra passes are
     free).
     """
-    if spec.nonuniform_dt:
-        raise NotImplementedError(
-            "the structured Riccati AL-SQP path is uniform-dt by design "
-            "(one shared tau rides the augmented state); use solver.type "
-            "'lsq_lm' for non-uniform per-stage dt grids"
-        )
     with jax.default_matmul_precision("float32"):
         return _solve_single_impl(spec, settings, scenario, init, duals)
 

@@ -156,3 +156,36 @@ def build_augmented_transition(F, G, m, r, *, nu: int):
     )
     rz = jnp.concatenate([r, jnp.zeros((N, nu + 1), dtype)], axis=-1)
     return Fz, Gz, rz
+
+
+def build_augmented_transition_nonuniform(F, G, m, r, *, nu: int):
+    """Augmented transition for the NON-UNIFORM per-stage-dt grid.
+
+    Each interval owns its dt decision variable (parity:
+    cbr:optimal_control/.../non_uniform_finite_differences_variable_grid.h ::
+    NonUniformFiniteDifferencesVariableGrid). TPU-first structure: δdt_k is
+    an *extra control column* of stage k (the stage transition depends only on
+    its own interval's dt), and δdt_{k-1} rides in the augmented state so the
+    trapezoidal stage cost ½(dt_{k-1}+dt_k)·lx_k stays stage-separable —
+    the KKT remains block-tridiagonal with the SAME na = nx+nu+1 as the
+    uniform shared-τ layout, only the control width grows to nu+1:
+
+        z_k = [δx_k, δu_{k-1}, δdt_{k-1}],  v_k = [δu_k, δdt_k]
+        δx rows:      [F, 0, 0]·z + [G | m]·v + r
+        δu_prev rows: δu_k
+        δdt_prev row: δdt_k
+    """
+    N, nx = F.shape[0], F.shape[1]
+    na = nx + nu + 1
+    dtype = F.dtype
+    top = jnp.concatenate([F, jnp.zeros((N, nx, nu + 1), dtype)], axis=-1)
+    Fz = jnp.concatenate([top, jnp.zeros((N, nu + 1, na), dtype)], axis=-2)
+    Gz = jnp.concatenate(
+        [
+            jnp.concatenate([G, m[:, :, None]], axis=-1),
+            jnp.broadcast_to(jnp.eye(nu + 1, dtype=dtype), (N, nu + 1, nu + 1)),
+        ],
+        axis=-2,
+    )
+    rz = jnp.concatenate([r, jnp.zeros((N, nu + 1), dtype)], axis=-1)
+    return Fz, Gz, rz

@@ -86,11 +86,10 @@ def test_reconfigure_rejected_update_leaves_controller_untouched():
     ctrl = Controller(load_config(BASE), dtype=jnp.float32)
     r0 = ctrl.step(_scen())
     cache_keys = set(ctrl._cache.keys())
-    # non_uniform grid requires lsq_lm → Controller.__init__ raises
-    with pytest.raises(ValueError, match="lsq_lm"):
-        ctrl.reconfigure({"grid": {"type": "non_uniform_fd_grid",
-                                   "variable_grid": {"enable": True}}})
-    assert ctrl.config.grid.type == "fd_grid"
+    # an unknown solver backend fails Controller validation
+    with pytest.raises(ValueError, match="unknown solver.type"):
+        ctrl.reconfigure({"solver": {"type": "bogus_backend"}})
+    assert ctrl.config.solver.type == "al_sqp"
     assert not ctrl.spec.nonuniform_dt
     assert ctrl._primal is not None
     assert set(ctrl._cache.keys()) == cache_keys

@@ -47,7 +47,7 @@ def latency_mode():
     spec = config3_carlike_min_time(N=30, obstacle_cap=8)
     cold = SolverSettings.for_spec(spec)
     warm = SolverSettings(
-        n_al=2, n_sqp=3, rho0=50.0, reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3,
+        n_al=2, n_sqp=3, rho0=120.0, reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3,
         alphas=(1.0, 0.7, 0.5, 0.35, 0.22, 0.14, 0.08, 0.03),
     )
     with jax.default_device(jax.devices("cpu")[0]):
@@ -123,7 +123,7 @@ def fleet_mode():
     spec = config3_carlike_min_time(N=30, obstacle_cap=8)
     cold = SolverSettings.for_spec(spec)
     warm = SolverSettings(
-        n_al=2, n_sqp=3, rho0=50.0, reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3,
+        n_al=2, n_sqp=3, rho0=120.0, reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3,
         alphas=(1.0, 0.7, 0.5, 0.35, 0.22, 0.14, 0.08, 0.03),
     )
     dev = jax.devices()[0]
@@ -204,20 +204,28 @@ def main():
 
     spec = config3_carlike_min_time(N=30, obstacle_cap=8)
     cold = SolverSettings.for_spec(spec)
-    # budget frontier measured on v5e, round 2 (batch 4096, post scatter-fix;
+    # operating point measured on v5e, round 2 (batch 4096, Pallas KKT;
     # conv = steady-state fraction at 1e-3 feasibility):
-    #   2×3+8α → 28.2k/s @ 0.60 → 16.9k converged/s   <- operating point
-    #   2×4+8α → 21.3k/s @ 0.67 → 14.2k
-    #   3×4    → 14.3k/s @ 0.82 → 11.8k
+    #   2×3+8α ρ₀=120 → 94.4k/s @ 0.741 → 69.9k converged/s  <- operating point
+    #   2×3+8α ρ₀=50  → 94.3k/s @ 0.615 → 58.0k  (warm restart under-stiff)
+    #   2×4+8α ρ₀=100 → 72.5k/s @ 0.805 → 58.4k
+    # Warm-restart ρ₀ frontier is flat over 100-200 and collapses by 1000
+    # (line-search stalls); dual-heavy schedules at the same 6-iteration
+    # budget are far worse (3×2 → 0.36, 6×1 → 0.002): the SQP phase needs
+    # ≥3 iterations to re-solve after each dual update. BENCH_NOTES.md r2.
     # The headline metric is CONVERGED solves/s (a solve only counts if it
     # meets its own 1e-3 feasibility tolerance). ~11-14% of the random
     # ensemble is near-infeasible (cold 240-iteration conv = 0.86), which
     # bounds the reachable converged fraction.
+    import os
     warm = SolverSettings(
-        n_al=2, n_sqp=3, rho0=50.0, reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3,
+        n_al=int(os.environ.get("BENCH_NAL", "2")),
+        n_sqp=int(os.environ.get("BENCH_NSQP", "3")),
+        rho0=float(os.environ.get("BENCH_RHO0", "120.0")),
+        rho_growth=float(os.environ.get("BENCH_RHOG", "5.0")),
+        reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3,
         alphas=(1.0, 0.7, 0.5, 0.35, 0.22, 0.14, 0.08, 0.03),
     )
-    import os
     batch = int(os.environ.get("BENCH_BATCH", "4096"))
 
     with jax.default_device(jax.devices("cpu")[0]):

@@ -305,7 +305,13 @@ class SolverNs:
             base,
             n_al=self.warm_iterations or 2,
             n_sqp=self.warm_inner_iterations or 4,
-            rho0=max(base.rho0, 50.0),
+            # warm-restart penalty: ρ restarts at this level every cycle
+            # (shift_duals). Measured frontier on the carlike min-time fleet
+            # (batch 4096, 2×3 budget): conv 0.62 @ ρ₀=50 → 0.74 @ ρ₀=120-150
+            # → 0.49 @ ρ₀=1000 (over-stiff stalls the line search) at
+            # identical speed — warm iterates are near-feasible, so a stiffer
+            # restart buys feasibility pressure for free; BENCH_NOTES.md r2.
+            rho0=max(base.rho0, 120.0),
             reg0=1.0,
             alphas=(1.0, 0.7, 0.5, 0.35, 0.22, 0.14, 0.08, 0.03),
             tol_eq=self.tol_eq or 1e-3,

@@ -786,13 +786,12 @@ def _update_duals(
     g_ball = C.terminal_ball_inequality(spec, primal.xs, scenario.xf)
     upd = lambda mu, g: jnp.maximum(0.0, mu + rho * g)  # noqa: E731
     mask = jnp.asarray(spec.xf_fixed)
-    viol = jnp.maximum(
-        jnp.maximum(jnp.max(jnp.abs(d)), jnp.max(jnp.abs(te))),
-        jnp.maximum(
-            jnp.max(jnp.concatenate([g.ravel() for g in (g_obs, g_rate, g_box, g_dt, g_ball)])),
-            0.0,
-        ),
+    eq_norm = jnp.maximum(jnp.max(jnp.abs(d)), jnp.max(jnp.abs(te)))
+    ineq_max = jnp.maximum(
+        jnp.max(jnp.concatenate([g.ravel() for g in (g_obs, g_rate, g_box, g_dt, g_ball)])),
+        0.0,
     )
+    viol = jnp.maximum(eq_norm, ineq_max)
     # grow while violation stalls OR is not yet well below tolerance — the
     # floor guarantees tight terminal feasibility once progress slows.
     grow = jnp.logical_or(
@@ -811,7 +810,7 @@ def _update_duals(
             grow, jnp.minimum(rho * settings.rho_growth, settings.rho_max), rho
         ),
     )
-    return new, viol
+    return new, viol, eq_norm, ineq_max
 
 
 # --------------------------------------------------------------------------- #
@@ -856,7 +855,7 @@ def _solve_single_impl(
     obs_k = _stage_obstacles_hoisted(spec, scenario, init.dt)
 
     def al_body(carry, _):
-        primal, duals, viol_prev = carry
+        primal, duals, viol_prev, best, _last = carry
 
         def sqp_body(c2, _):
             p, r = c2
@@ -870,24 +869,49 @@ def _solve_single_impl(
         (primal, _), _ = jax.lax.scan(
             sqp_body, (primal, reg0), None, length=settings.n_sqp
         )
-        duals, viol = _update_duals(
+        duals, viol, eq_n, in_n = _update_duals(
             spec, funcs, primal, scenario, duals, settings, viol_prev
         )
-        return (primal, duals, viol), None
+        # best-feasible snapshot: the dual update already evaluated every
+        # constraint at this phase-end iterate, so the feasibility check is
+        # free. A later dual update can push a feasible iterate back out of
+        # tolerance (it reshapes the merit landscape); remembering the last
+        # feasible iterate means those lanes still return a converged solve.
+        ok = jnp.logical_and(eq_n < settings.tol_eq, in_n < settings.tol_ineq)
+        b_primal, b_eq, b_in, b_found = best
+        take = lambda a, b: jnp.where(ok, a, b)  # noqa: E731
+        best = (
+            jax.tree_util.tree_map(take, primal, b_primal),
+            take(eq_n, b_eq),
+            take(in_n, b_in),
+            jnp.logical_or(ok, b_found),
+        )
+        return (primal, duals, viol, best, (eq_n, in_n)), None
 
-    (primal, duals, _), _ = jax.lax.scan(
+    inf = jnp.asarray(jnp.inf, dtype)
+    best0 = (init, inf, inf, jnp.asarray(False))
+    (primal, duals, _, best, (eq_norm, viol)), _ = jax.lax.scan(
         al_body,
-        (init, duals, jnp.asarray(jnp.inf, dtype)),
+        (init, duals, inf, best0, (inf, inf)),
         None,
         length=settings.n_al,
     )
 
+    # the final primal IS the last phase-end iterate, whose constraint norms
+    # the last dual update already computed — no extra evaluation needed.
+    final_ok = jnp.logical_and(eq_norm < settings.tol_eq, viol < settings.tol_ineq)
+    # prefer the final iterate (it carried the most optimization); fall back
+    # to the last feasible snapshot when the final one drifted out of
+    # tolerance.
+    b_primal, b_eq, b_in, b_found = best
+    use_best = jnp.logical_and(b_found, jnp.logical_not(final_ok))
+    primal = jax.tree_util.tree_map(
+        lambda b, f: jnp.where(use_best, b, f), b_primal, primal
+    )
+    eq_norm = jnp.where(use_best, b_eq, eq_norm)
+    viol = jnp.where(use_best, b_in, viol)
+    converged = jnp.logical_or(final_ok, b_found)
     cost = funcs.cost(primal, scenario)
-    eq = funcs.eq(primal, scenario)
-    g = funcs.ineq(primal, scenario)
-    eq_norm = jnp.max(jnp.abs(eq))
-    viol = jnp.maximum(jnp.max(g), 0.0)
-    converged = jnp.logical_and(eq_norm < settings.tol_eq, viol < settings.tol_ineq)
     return SolveResult(
         primal=primal, duals=duals, cost=cost, eq_norm=eq_norm,
         ineq_viol=viol, converged=converged,

@@ -114,6 +114,7 @@ def fleet_mode():
         init_duals,
         shift_duals,
         solve_single,
+        solve_single_auto,
     )
 
     total = int(os.environ.get("BENCH_TOTAL", "65536"))
@@ -128,7 +129,9 @@ def fleet_mode():
     )
     dev = jax.devices()[0]
     cold_solve = jax.jit(jax.vmap(lambda s, i, d: solve_single(spec, cold, s, i, d)))
-    warm_solve = jax.jit(jax.vmap(lambda s, i, d: solve_single(spec, warm, s, i, d)))
+    # warm path: auto-dispatches to the fused whole-solve Pallas kernel
+    # (measured 8.9 ms vs 43.4 ms per warm cycle at batch 4096 on v5e)
+    warm_solve = jax.jit(jax.vmap(solve_single_auto(spec, warm)))
 
     with jax.default_device(jax.devices("cpu")[0]):
         duals0 = jax.tree_util.tree_map(
@@ -200,6 +203,7 @@ def main():
         init_duals,
         shift_duals,
         solve_single,
+        solve_single_auto,
     )
 
     spec = config3_carlike_min_time(N=30, obstacle_cap=8)
@@ -239,7 +243,9 @@ def main():
     scen, init, duals0 = jax.device_put((scen, init, duals0), dev)
 
     cold_solve = jax.jit(jax.vmap(lambda s, i, d: solve_single(spec, cold, s, i, d)))
-    warm_solve = jax.jit(jax.vmap(lambda s, i, d: solve_single(spec, warm, s, i, d)))
+    # warm path: auto-dispatches to the fused whole-solve Pallas kernel
+    # (measured 8.9 ms vs 43.4 ms per warm cycle at batch 4096 on v5e)
+    warm_solve = jax.jit(jax.vmap(solve_single_auto(spec, warm)))
 
     def cycle(scen, r):
         """One warm MPC cycle (validated policy: advance/continue/reset)."""

@@ -1,0 +1,1032 @@
+"""Pallas TPU mega-kernel: one ENTIRE warm AL-SQP solve per kernel launch.
+
+Why. The XLA warm cycle (solvers/al_sqp.solve_single, 2x3 budget, batch
+4096) measures ~43 ms while its intrinsic data is tiny: XLA's own cost
+model reports 8.1 GB touched per cycle for 0.8 GFLOP (flops/byte = 0.1),
+i.e. every one of the hundreds of small elementwise/assembly ops
+round-trips (B, N, ~8)-shaped tensors through HBM with (8,128)-tile
+padding on their tiny minor dims. The per-solve state, however, is ~4 KB
+(trajectory + duals + obstacle field) — it fits in VMEM many times over.
+This kernel keeps the WHOLE solve on-chip: HBM traffic is one read of the
+scenario/warm state and one write of the result per solve; everything else
+(defect linearization, AL gradients/Hessians, the Riccati sweeps, the
+9-candidate line search, dual updates, the best-feasible snapshot) happens
+in VMEM. Structural zeros of the augmented-state blocks are elided at
+trace time (Python-constant folding in the tiny-matrix helpers), which is
+the "structured-sparsity KKT" design point for free.
+
+Layout (same as ops/riccati_pallas.py): scenario batch in the minor
+(sublane x lane) dims — every per-scenario scalar is an (S, 128) tile and
+all small-matrix algebra is fully unrolled elementwise VPU code over the
+batch. The MXU is useless for 3x3/6x6 blocks; the VPU at 8x128/cycle is
+exactly the right unit (SURVEY.md §8 hard part #2).
+
+Semantics: bit-for-bit the math of solvers/al_sqp._solve_single_impl
+(same merit, same hybrid exact/Gauss-Newton stage Hessians, same
+line-search ladder + alpha=0 candidate, same NaN quarantine, dt trust
+region, regularization policy, dual update with conditional rho growth,
+and the best-feasible-snapshot carry), specialized to the guard-checked
+scope below and with closed-form derivatives replacing AD (they are
+hand-derived for this scope and tested against the AD path in
+tests/test_fused_solver.py).
+
+Scope (``fused_supported(spec)``): uniform grid (fixed or shared
+variable dt), forward-difference collocation, minimum_time objective
+(optional terminal quadratic cost), unicycle or simple_car (rear-drive)
+model, point/circular footprint, point/circle obstacle slots only, static
+obstacles, no via points, no terminal ball. Everything else falls back to
+the XLA path. Parity anchor: this is the BASELINE config #3 / #4 flagship
+serving workload (benchmarks.config3_carlike_min_time).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpc_local_planner_tpu.geometry.footprints import CircularFootprint, PointFootprint
+from mpc_local_planner_tpu.systems.models import SimpleCarModel, UnicycleModel
+
+SUBLANES = 2
+LANES = 128
+BT = SUBLANES * LANES
+_BIG = 1.0e6          # geometry.obstacles.BIG_DISTANCE
+_EPS = 1e-12          # geometry.distances._EPS (safe norm)
+_TWO_PI = 2.0 * math.pi
+_F32_MAX = float(jnp.finfo(jnp.float32).max)
+
+
+def fused_supported(spec) -> bool:
+    """True when the fused kernel implements this spec's exact semantics."""
+    return (
+        not spec.nonuniform_dt
+        and spec.collocation == "forward_differences"
+        and spec.objective == "minimum_time"
+        and spec.via_cap == 0
+        and spec.ball_radius <= 0.0
+        and not spec.enable_dynamic_obstacles
+        and spec.nu == 2
+        and isinstance(spec.model, (UnicycleModel, SimpleCarModel))
+        and type(spec.model) in (UnicycleModel, SimpleCarModel)  # not front-wheel subclass
+        and isinstance(spec.footprint, (PointFootprint, CircularFootprint))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# tiny-matrix helpers over lists of (S, L) tiles with Python-constant folding
+# --------------------------------------------------------------------------- #
+def _isc(x):
+    return isinstance(x, (int, float))
+
+
+def _mul(a, b):
+    if _isc(a) and a == 0.0:
+        return 0.0
+    if _isc(b) and b == 0.0:
+        return 0.0
+    if _isc(a) and a == 1.0:
+        return b
+    if _isc(b) and b == 1.0:
+        return a
+    return a * b
+
+
+def _add(a, b):
+    if _isc(a) and a == 0.0:
+        return b
+    if _isc(b) and b == 0.0:
+        return a
+    return a + b
+
+
+def _dotl(xs, ys):
+    acc = 0.0
+    for x, y in zip(xs, ys):
+        acc = _add(acc, _mul(x, y))
+    return acc
+
+
+def _mat_mul(A, B):
+    n, k, m = len(A), len(B), len(B[0])
+    return [
+        [_dotl(A[i], [B[l][j] for l in range(k)]) for j in range(m)]
+        for i in range(n)
+    ]
+
+
+def _mat_T(A):
+    return [[A[i][j] for i in range(len(A))] for j in range(len(A[0]))]
+
+
+def _wrap(th):
+    return jnp.mod(th + math.pi, _TWO_PI) - math.pi
+
+
+# --------------------------------------------------------------------------- #
+# the kernel
+# --------------------------------------------------------------------------- #
+def _fused_kernel(
+    # inputs (all (..., 1, S, L) blocks)
+    xs_i, us_i, dt_i, xf, u_prev, oc, orr, om,
+    ld_i, lt_i, mo_i, mr_i, mb_i, md_i, rho_i,
+    # outputs
+    xs_o, us_o, dt_o, ld_o, lt_o, mo_o, mr_o, mb_o, md_o, rho_o,
+    cost_o, eq_o, in_o, cv_o,
+    # scratch
+    P, pv, Ks, kffs, dxs, dus, bxs, bus, scal,
+    *,
+    N: int, M: int, model: str, wheelbase: float,
+    lo_u, hi_u, lo_r, hi_r, min_dist: float, foot_r: float,
+    xf_fixed, variable_dt: bool, dt_min: float, dt_max: float, dt_ref: float,
+    qf, n_al: int, n_sqp: int, alphas, dt_trust_frac: float,
+    rho0: float, rho_growth: float, rho_max: float,
+    reg0: float, reg_shrink: float, reg_grow: float, reg_min: float, reg_max: float,
+    viol_decrease_req: float, tol_eq: float, tol_ineq: float,
+    debug_step: bool = False,
+):
+    """One whole warm solve per (S*L)-scenario batch group.
+
+    scal layout (per-lane scalar registers, shape (SC, S, L)):
+      0 dt, 1 rho, 2 best_dt, 3 best_eq, 4 best_in, 5 best_found,
+      6 viol_prev, 7 dtau, 8 eq_last, 9 in_last
+    """
+    f32 = jnp.float32
+    zero = jnp.zeros((SUBLANES, LANES), f32)
+    one = zero + 1.0
+
+    # ---- state init: copy inputs into the output refs (working state) ---- #
+    def _cp(t, _):
+        for i in range(3):
+            xs_o[t, i, 0] = xs_i[t, i, 0]
+            ld_o[t % N, i, 0] = ld_i[t % N, i, 0]
+        for i in range(2):
+            us_o[t % N, i, 0] = us_i[t % N, i, 0]
+        for i in range(M):
+            mo_o[t % N, i, 0] = mo_i[t % N, i, 0]
+        for i in range(4):
+            mr_o[t % N, i, 0] = mr_i[t % N, i, 0]
+            mb_o[t % N, i, 0] = mb_i[t % N, i, 0]
+        return ()
+
+    jax.lax.fori_loop(0, N + 1, _cp, ())
+    for i in range(3):
+        lt_o[i, 0] = lt_i[i, 0]
+    for i in range(2):
+        md_o[i, 0] = md_i[i, 0]
+    scal[0] = dt_i[0, 0]
+    scal[1] = rho_i[0, 0]
+    scal[2] = dt_i[0, 0]
+    scal[3] = zero + _F32_MAX
+    scal[4] = zero + _F32_MAX
+    scal[5] = zero
+    scal[6] = zero + _F32_MAX
+
+    dt_lo = max(dt_min, 1.0e-3) if variable_dt else dt_ref
+    dt_hi = dt_max if variable_dt else dt_ref
+
+    # ---- closed-form model pieces ---------------------------------------- #
+    def dyn(x, u):
+        """f(x, u) and the Jacobians Jx (3x3, structured), Ju (3x2)."""
+        c, s = jnp.cos(x[2]), jnp.sin(x[2])
+        v = u[0]
+        if model == "unicycle":
+            f = [v * c, v * s, u[1]]
+            Jx = [[0.0, 0.0, -v * s], [0.0, 0.0, v * c], [0.0, 0.0, 0.0]]
+            Ju = [[c, 0.0], [s, 0.0], [0.0, 1.0]]
+        else:  # simple_car (rear-wheel drive)
+            t = jnp.tan(u[1])
+            f = [v * c, v * s, v * t / wheelbase]
+            Jx = [[0.0, 0.0, -v * s], [0.0, 0.0, v * c], [0.0, 0.0, 0.0]]
+            Ju = [
+                [c, 0.0],
+                [s, 0.0],
+                [t / wheelbase, v * (1.0 + t * t) / wheelbase],
+            ]
+        return f, Jx, Ju
+
+    def read_x(k):
+        return [xs_o[k, i, 0] for i in range(3)]
+
+    def read_u(k):
+        return [us_o[k, i, 0] for i in range(2)]
+
+    def read_uprev(k):
+        """u_{k-1} with u_{-1} = scenario.u_prev."""
+        km1 = jnp.maximum(k - 1, 0)
+        return [
+            jnp.where(k == 0, u_prev[i, 0], us_o[km1, i, 0]) for i in range(2)
+        ]
+
+    def defect(xk, uk, xk1, dtv):
+        """Forward-difference collocation defect + its linearization.
+
+        c = wrap(xk + dt f(xk,uk) - xk1);  E = -I  =>  F = I + dt Jx,
+        G = dt Ju, m = f, r = c  (deltas: dx1 = F dx + G du + m ddt + r).
+        """
+        f, Jx, Ju = dyn(xk, uk)
+        c = [
+            xk[0] + dtv * f[0] - xk1[0],
+            xk[1] + dtv * f[1] - xk1[1],
+            _wrap(xk[2] + dtv * f[2] - xk1[2]),
+        ]
+        F = [
+            [
+                _add(1.0 if i == j else 0.0, _mul(dtv, Jx[i][j]))
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+        G = [[_mul(dtv, Ju[i][j]) for j in range(2)] for i in range(3)]
+        return c, F, G, f
+
+    def obs_terms(x):
+        """Per-slot obstacle inequality g_j = min_dist - d_j and the position
+        gradient dg/dp = -(p - c)/safe_norm; masked slots: g = min_dist - BIG."""
+        gs, gx, gy = [], [], []
+        for j in range(M):
+            dx0 = x[0] - oc[j, 0, 0]
+            dy0 = x[1] - oc[j, 1, 0]
+            dn = jnp.sqrt(dx0 * dx0 + dy0 * dy0 + _EPS)
+            d = dn - orr[j, 0, 0] - foot_r
+            g = min_dist - jnp.where(om[j, 0, 0] > 0.5, d, _BIG)
+            gs.append(g)
+            inv = 1.0 / dn
+            gx.append(-dx0 * inv)
+            gy.append(-dy0 * inv)
+        return gs, gx, gy
+
+    # rate limits sanitized exactly like constraints.control_rate_inequalities
+    lo_rs = [max(v, -_BIG) for v in lo_r]
+    hi_rs = [min(v, _BIG) for v in hi_r]
+
+    def hinge_w(t, rho):
+        """AL curvature weight of an exactly-penalized linear inequality.
+
+        Matches jax.hessian of max(0, t)^2/(2 rho): JAX's tie subgradient of
+        maximum at t == 0 is 0.5, so the exactly-active case (t == 0 — e.g.
+        the seeded velocity riding the box bound) gets rho/4, not 0 or rho.
+        The obstacle GN weights stay crisp (al_sqp.gn_weights uses > 0).
+        """
+        s = jnp.where(t > 0.0, 1.0, jnp.where(t == 0.0, 0.5, 0.0))
+        return rho * s * s
+
+    def psi_sum(gs, mus, rho):
+        """PHR penalty sum((max(0, mu + rho g))^2 - mu^2) / (2 rho)."""
+        acc = 0.0
+        for g, mu in zip(gs, mus):
+            a = jnp.maximum(0.0, mu + rho * g)
+            acc = _add(acc, a * a - mu * mu)
+        return _mul(acc, 0.5 / rho) if not _isc(acc) else 0.0
+
+    def phi_sum(cs, lams, rho):
+        """Equality penalty sum(lam c) + rho/2 sum(c^2)."""
+        acc = 0.0
+        for c, lam in zip(cs, lams):
+            acc = _add(acc, _add(_mul(lam, c), _mul(_mul(0.5, rho), c * c)))
+        return acc
+
+    # ---- per-stage constraint builders (shared by merit + derivatives) --- #
+    def rate_g(uk, up, dtv):
+        """4 rows: [du - hi dt (x2), lo dt - du (x2)]."""
+        du = [uk[i] - up[i] for i in range(2)]
+        return [
+            du[0] - hi_rs[0] * dtv, du[1] - hi_rs[1] * dtv,
+            lo_rs[0] * dtv - du[0], lo_rs[1] * dtv - du[1],
+        ]
+
+    def box_g(uk):
+        return [
+            uk[0] - hi_u[0], uk[1] - hi_u[1],
+            lo_u[0] - uk[0], lo_u[1] - uk[1],
+        ]
+
+    def term_eq(xN):
+        return [
+            _mul(1.0 if xf_fixed[i] else 0.0, _wrap(xN[i] - xf[i, 0]))
+            for i in range(3)
+        ]
+
+    def dt_g(dtv):
+        if not variable_dt:
+            return [zero - _BIG, zero - _BIG]
+        return [dtv - dt_max, dt_min - dtv]
+
+    # ---- full-trajectory AL merit of a line-search candidate -------------- #
+    def merit_candidate(alpha, rho):
+        """_al_merit at (xs + a dxs [wrapped], us + a dus, clip(dt + a dtau)).
+
+        One pass over the stages; the candidate is never materialized.
+        """
+        dtv = jnp.clip(scal[0] + alpha * scal[7], dt_lo, dt_hi)
+
+        def cand_x(k):
+            return [
+                xs_o[k, 0, 0] + alpha * dxs[k, 0],
+                xs_o[k, 1, 0] + alpha * dxs[k, 1],
+                _wrap(xs_o[k, 2, 0] + alpha * dxs[k, 2]),
+            ]
+
+        def cand_u(k):
+            return [us_o[k, i, 0] + alpha * dus[k, i] for i in range(2)]
+
+        def body(k, m):
+            xk = cand_x(k)
+            uk = cand_u(k)
+            xk1 = cand_x(k + 1)
+            km1 = jnp.maximum(k - 1, 0)
+            up = [
+                jnp.where(k == 0, u_prev[i, 0], us_o[km1, i, 0]
+                          + alpha * dus[km1, i])
+                for i in range(2)
+            ]
+            c, _, _, _ = defect(xk, uk, xk1, dtv)
+            m = m + phi_sum(c, [ld_o[k, i, 0] for i in range(3)], rho)
+            # obstacle rows: row k of (N, M) belongs to pose x_{k+1}
+            gs, _, _ = obs_terms(xk1)
+            m = m + psi_sum(gs, [mo_o[k, j, 0] for j in range(M)], rho)
+            m = m + psi_sum(rate_g(uk, up, dtv), [mr_o[k, i, 0] for i in range(4)], rho)
+            m = m + psi_sum(box_g(uk), [mb_o[k, i, 0] for i in range(4)], rho)
+            return m
+
+        m = jax.lax.fori_loop(0, N, body, zero)
+        m = m + float(N) * dtv                      # minimum_time cost
+        xN = cand_x(N)
+        te = term_eq(xN)
+        m = m + phi_sum(te, [lt_o[i, 0] for i in range(3)], rho)
+        if variable_dt:
+            m = m + psi_sum(dt_g(dtv), [md_o[i, 0] for i in range(2)], rho)
+        if qf is not None:
+            dxq = [_wrap(xN[i] - xf[i, 0]) for i in range(3)]
+            m = m + sum(qf[i] * dxq[i] * dxq[i] for i in range(3))
+        return m
+
+    # ---- Riccati pieces over z = [dx(3), du_prev(2), dtau], v = du(2) ----- #
+    na, nu = 6, 2
+
+    def terminal_Pp(rho):
+        """PN (6x6) and pN (6) of the terminal stage merit.
+
+        Terms: phi(masked terminal equality) [exact], obstacle GN at x_N,
+        dt box [exact], optional terminal quadratic cost [exact]. The
+        du_prev rows are zero (terminal merit doesn't touch u_{N-1}).
+        """
+        xN = read_x(N)
+        Pm = [[0.0] * na for _ in range(na)]
+        pm = [0.0] * na
+        te = term_eq(xN)
+        for i in range(3):
+            if xf_fixed[i]:
+                Pm[i][i] = _add(Pm[i][i], rho)
+                pm[i] = _add(pm[i], lt_o[i, 0] + rho * te[i])
+        if qf is not None:
+            for i in range(3):
+                if qf[i] != 0.0:
+                    Pm[i][i] = _add(Pm[i][i], 2.0 * qf[i])
+                    pm[i] = _add(pm[i], 2.0 * qf[i] * _wrap(xN[i] - xf[i, 0]))
+        gs, gx, gy = obs_terms(xN)
+        for j in range(M):
+            mu = mo_o[N - 1, j, 0]
+            a = jnp.maximum(0.0, mu + rho * gs[j])
+            act = (mu + rho * gs[j] > 0.0).astype(f32)
+            aw = rho * act
+            # gradient: a * dg/dp ; GN: aw * (dg/dp)(dg/dp)^T
+            pm[0] = _add(pm[0], a * gx[j])
+            pm[1] = _add(pm[1], a * gy[j])
+            Pm[0][0] = _add(Pm[0][0], aw * gx[j] * gx[j])
+            Pm[0][1] = _add(Pm[0][1], aw * gx[j] * gy[j])
+            Pm[1][1] = _add(Pm[1][1], aw * gy[j] * gy[j])
+        Pm[1][0] = Pm[0][1]
+        if variable_dt:
+            dtv = scal[0]
+            g1, g2 = dtv - dt_max, dt_min - dtv
+            mu1, mu2 = md_o[0, 0], md_o[1, 0]
+            a1 = jnp.maximum(0.0, mu1 + rho * g1)
+            a2 = jnp.maximum(0.0, mu2 + rho * g2)
+            pm[5] = _add(pm[5], a1 - a2)
+            Pm[5][5] = _add(
+                Pm[5][5], hinge_w(mu1 + rho * g1, rho) + hinge_w(mu2 + rho * g2, rho)
+            )
+        return Pm, pm
+
+    def stage_grad_hess(k, rho):
+        """Exact AL gradient (hz 6, hu 2) + hybrid GN Hessian blocks
+        (Hzz 6x6, Hzu 6x2, Huu 2x2) of the stage merit at stage k.
+
+        Stage merit terms: min-time objective (dt), obstacles at x_k
+        (inactive at k=0, multiplier row mo[k-1]), rate (u_prev, u, dt),
+        box (u). All constraints are linear except the obstacle distance,
+        whose GN weight is aw = rho*[active] (matches al_sqp's surrogate).
+        """
+        xk = read_x(k)
+        uk = read_u(k)
+        up = read_uprev(k)
+        dtv = scal[0]
+        hz = [0.0] * na
+        hu = [0.0] * nu
+        Hzz = [[0.0] * na for _ in range(na)]
+        Hzu = [[0.0] * nu for _ in range(na)]
+        Huu = [[0.0] * nu for _ in range(nu)]
+
+        # objective: min-time stage cost = dt -> d/dtau = 1
+        hz[5] = _add(hz[5], one)
+
+        # obstacles at x_k (row k-1; inactive when k == 0)
+        on = (k > 0).astype(f32)
+        km1 = jnp.maximum(k - 1, 0)
+        gs, gx, gy = obs_terms(xk)
+        for j in range(M):
+            mu = mo_o[km1, j, 0] * on
+            a = jnp.maximum(0.0, mu + rho * gs[j]) * on
+            aw = rho * on * (mu + rho * gs[j] > 0.0).astype(f32)
+            hz[0] = _add(hz[0], a * gx[j])
+            hz[1] = _add(hz[1], a * gy[j])
+            Hzz[0][0] = _add(Hzz[0][0], aw * gx[j] * gx[j])
+            Hzz[0][1] = _add(Hzz[0][1], aw * gx[j] * gy[j])
+            Hzz[1][1] = _add(Hzz[1][1], aw * gy[j] * gy[j])
+        Hzz[1][0] = Hzz[0][1]
+
+        # rate rows: g = +-(du - b dt); J_z over [du_prev, dtau],
+        # J_v over du. Linear -> exact Hessian = rho [active] J J^T.
+        g_r = rate_g(uk, up, dtv)
+        for idx, (sgn, comp, b) in enumerate(
+            [(1.0, 0, hi_rs[0]), (1.0, 1, hi_rs[1]),
+             (-1.0, 0, lo_rs[0]), (-1.0, 1, lo_rs[1])]
+        ):
+            mu = mr_o[k, idx, 0]
+            a = jnp.maximum(0.0, mu + rho * g_r[idx])
+            aw = hinge_w(mu + rho * g_r[idx], rho)
+            # J entries: d g/d u_prev[comp] = -sgn; d g/d tau = -sgn*b;
+            # d g/d u[comp] = +sgn
+            jz_up, jz_t, jv = -sgn, -sgn * b, sgn
+            zi, ti = 3 + comp, 5
+            hz[zi] = _add(hz[zi], a * jz_up)
+            hz[ti] = _add(hz[ti], a * jz_t)
+            hu[comp] = _add(hu[comp], a * jv)
+            Hzz[zi][zi] = _add(Hzz[zi][zi], aw * jz_up * jz_up)
+            Hzz[zi][ti] = _add(Hzz[zi][ti], aw * jz_up * jz_t)
+            Hzz[ti][zi] = Hzz[zi][ti]
+            Hzz[ti][ti] = _add(Hzz[ti][ti], aw * jz_t * jz_t)
+            Hzu[zi][comp] = _add(Hzu[zi][comp], aw * jz_up * jv)
+            Hzu[ti][comp] = _add(Hzu[ti][comp], aw * jz_t * jv)
+            Huu[comp][comp] = _add(Huu[comp][comp], aw * jv * jv)
+
+        # box rows: g = +-(u - b); J_v only.
+        g_b = box_g(uk)
+        for idx, (sgn, comp) in enumerate([(1.0, 0), (1.0, 1), (-1.0, 0), (-1.0, 1)]):
+            mu = mb_o[k, idx, 0]
+            a = jnp.maximum(0.0, mu + rho * g_b[idx])
+            aw = hinge_w(mu + rho * g_b[idx], rho)
+            hu[comp] = _add(hu[comp], a * sgn)
+            Huu[comp][comp] = _add(Huu[comp][comp], aw)
+        return hz, hu, Hzz, Hzu, Huu
+
+    # ---- the solve -------------------------------------------------------- #
+    for _phase in range(n_al):
+        rho = scal[1]
+        reg = zero + reg0
+
+        for _it in range(n_sqp):
+            # ---------- backward Riccati sweep (streaming derivatives) ----- #
+            PN, pN = terminal_Pp(rho)
+            for i in range(na):
+                pv[i] = pN[i] if not _isc(pN[i]) else zero + pN[i]
+                for j in range(na):
+                    P[i, j] = PN[i][j] if not _isc(PN[i][j]) else zero + PN[i][j]
+
+            def backward(t, _):
+                k = N - 1 - t
+                xk, uk, xk1 = read_x(k), read_u(k), read_x(k + 1)
+                dtv = scal[0]
+                c, F, G, fvec = defect(xk, uk, xk1, dtv)
+                mcol = fvec if variable_dt else [0.0, 0.0, 0.0]
+                hz, hu, Hzz, Hzu, Huu = stage_grad_hess(k, rho)
+
+                # augmented transition (structured):
+                #   Fz = [[F,0,m],[0,0,0],[0,0,1]], Gz = [[G],[I],[0]], rz=[r;0]
+                Fz = [
+                    [F[0][0], F[0][1], F[0][2], 0.0, 0.0, mcol[0]],
+                    [F[1][0], F[1][1], F[1][2], 0.0, 0.0, mcol[1]],
+                    [F[2][0], F[2][1], F[2][2], 0.0, 0.0, mcol[2]],
+                    [0.0] * 6, [0.0] * 6,
+                    [0.0, 0.0, 0.0, 0.0, 0.0, 1.0],
+                ]
+                Gz = [
+                    [G[0][0], G[0][1]], [G[1][0], G[1][1]], [G[2][0], G[2][1]],
+                    [1.0, 0.0], [0.0, 1.0], [0.0, 0.0],
+                ]
+                rz = [c[0], c[1], c[2], 0.0, 0.0, 0.0]
+
+                Pm = [[P[i, j] for j in range(na)] for i in range(na)]
+                pl_ = [pv[i] for i in range(na)]
+                PF = _mat_mul(Pm, Fz)
+                PG = _mat_mul(Pm, Gz)
+                Prp = [_add(_dotl(Pm[i], rz), pl_[i]) for i in range(na)]
+                FT = _mat_T(Fz)
+                Qzz = [
+                    [_add(Hzz[i][j], _dotl(FT[i], [PF[l][j] for l in range(na)]))
+                     for j in range(na)]
+                    for i in range(na)
+                ]
+                Qzu = [
+                    [_add(Hzu[i][j], _dotl(FT[i], [PG[l][j] for l in range(na)]))
+                     for j in range(nu)]
+                    for i in range(na)
+                ]
+                GT = _mat_T(Gz)
+                Quu = [
+                    [
+                        _add(
+                            _add(Huu[i][j],
+                                 _dotl(GT[i], [PG[l][j] for l in range(na)])),
+                            reg if i == j else 0.0,
+                        )
+                        for j in range(nu)
+                    ]
+                    for i in range(nu)
+                ]
+                qz = [_add(hz[i], _dotl(FT[i], Prp)) for i in range(na)]
+                qu = [_add(hu[i], _dotl(GT[i], Prp)) for i in range(nu)]
+
+                det = Quu[0][0] * Quu[1][1] - Quu[0][1] * Quu[1][0]
+                inv_det = 1.0 / det
+                Qi = [
+                    [Quu[1][1] * inv_det, -Quu[0][1] * inv_det],
+                    [-Quu[1][0] * inv_det, Quu[0][0] * inv_det],
+                ]
+                Km = [
+                    [-(Qi[i][0] * Qzu[j][0] + Qi[i][1] * Qzu[j][1]) for j in range(na)]
+                    for i in range(nu)
+                ]
+                kf = [-(Qi[i][0] * qu[0] + Qi[i][1] * qu[1]) for i in range(nu)]
+                for i in range(na):
+                    for j in range(na):
+                        v = _add(Qzz[i][j], _dotl(Qzu[i], [Km[l][j] for l in range(nu)]))
+                        vT = _add(Qzz[j][i], _dotl(Qzu[j], [Km[l][i] for l in range(nu)]))
+                        P[i, j] = 0.5 * (v + vT)
+                    pv[i] = _add(qz[i], _dotl(Qzu[i], kf))
+                for i in range(nu):
+                    kffs[k, i] = kf[i]
+                    for j in range(na):
+                        Ks[k, i, j] = Km[i][j]
+                return ()
+
+            if debug_step == 4:
+                # dump raw stage N-1 pieces: x_{N-1}, u_{N-1}, x_N, c, f
+                xk, uk, xk1 = read_x(N - 1), read_u(N - 1), read_x(N)
+                c4, F4, G4, f4 = defect(xk, uk, xk1, scal[0])
+                for i in range(3):
+                    ld_o[0, i, 0] = xk[i]
+                    ld_o[1, i, 0] = xk1[i]
+                    ld_o[2, i, 0] = c4[i]
+                    ld_o[3, i, 0] = f4[i]
+                lt_o[0, 0] = uk[0]
+                lt_o[1, 0] = uk[1]
+                lt_o[2, 0] = scal[0]
+                for r_ in (rho_o, cost_o, eq_o, in_o, cv_o, dt_o):
+                    r_[0, 0] = zero
+                return
+
+            if debug_step >= 2:
+                # dump P/p after terminal init (3) or one backward step (2)
+                if debug_step == 2:
+                    jax.lax.fori_loop(0, 1, backward, ())
+                for i in range(6):
+                    ld_o[i // 3, i % 3, 0] = pv[i]
+                for i in range(6):
+                    for j in range(6):
+                        idx = i * 6 + j
+                        if idx < N * M:
+                            mo_o[idx % N, idx // N, 0] = P[i, j]
+                        else:
+                            mr_o[(idx - N * M) % N, (idx - N * M) // N, 0] = P[i, j]
+                for r_ in (rho_o, cost_o, eq_o, in_o, cv_o, dt_o):
+                    r_[0, 0] = zero
+                return
+
+            jax.lax.fori_loop(0, N, backward, ())
+
+            # ---------- initial stage: free dtau --------------------------- #
+            Ptau = P[5, 5] + reg
+            tiny = float(jnp.finfo(jnp.float32).tiny)
+            if variable_dt:
+                dtau = -pv[5] / jnp.maximum(Ptau, tiny)
+            else:
+                dtau = zero
+            scal[7] = dtau
+            if debug_step:
+                # P0/p0 diagnostics (before pv is reused as the rollout z)
+                ld_o[0, 0, 0] = pv[5]
+                ld_o[0, 1, 0] = P[5, 5]
+                ld_o[0, 2, 0] = pv[0]
+                ld_o[1, 0, 0] = P[0, 0]
+                ld_o[1, 1, 0] = P[0, 5]
+                ld_o[1, 2, 0] = P[3, 3]
+
+            # ---------- forward rollout ------------------------------------ #
+            for i in range(3):
+                dxs[0, i] = zero
+            # z carried in pv (reuse): z = [dx(3), du_prev(2), dtau]
+            for i in range(5):
+                pv[i] = zero
+            pv[5] = dtau
+
+            def forward(k, _):
+                xk, uk, xk1 = read_x(k), read_u(k), read_x(k + 1)
+                dtv = scal[0]
+                c, F, G, fvec = defect(xk, uk, xk1, dtv)
+                mcol = fvec if variable_dt else [0.0, 0.0, 0.0]
+                z = [pv[i] for i in range(na)]
+                u = [
+                    _add(_dotl([Ks[k, i, j] for j in range(na)], z), kffs[k, i])
+                    for i in range(nu)
+                ]
+                xn = [
+                    _add(
+                        _add(_dotl(F[i], z[:3]), _dotl(G[i], u)),
+                        _add(_mul(mcol[i], z[5]), c[i]),
+                    )
+                    for i in range(3)
+                ]
+                for i in range(nu):
+                    dus[k, i] = u[i]
+                for i in range(3):
+                    dxs[k + 1, i] = xn[i]
+                pv[0], pv[1], pv[2] = xn[0], xn[1], xn[2]
+                pv[3], pv[4] = u[0], u[1]
+                return ()
+
+            jax.lax.fori_loop(0, N, forward, ())
+
+            # ---------- NaN quarantine ------------------------------------- #
+            # float carry: Mosaic cannot legalize an i1-vector scf.for carry
+            def finck(k, ok):
+                for i in range(3):
+                    ok = ok * jnp.isfinite(dxs[k + 1, i]).astype(f32)
+                for i in range(2):
+                    ok = ok * jnp.isfinite(dus[k, i]).astype(f32)
+                return ok
+
+            okf = jax.lax.fori_loop(
+                0, N, finck, jnp.isfinite(scal[7]).astype(f32)
+            )
+
+            def quarantine(k, _):
+                for i in range(3):
+                    dxs[k + 1, i] = dxs[k + 1, i] * okf
+                for i in range(2):
+                    dus[k, i] = dus[k, i] * okf
+                return ()
+
+            jax.lax.fori_loop(0, N, quarantine, ())
+            scal[7] = scal[7] * okf
+
+            if debug_step:
+                # dump the raw KKT step into the primal outputs and stop;
+                # P0/p0 diagnostics ride in lam_def rows 0-1
+                def dbg(k, _):
+                    for i in range(3):
+                        xs_o[k, i, 0] = dxs[k, i]
+                    for i in range(2):
+                        km = jnp.minimum(k, N - 1)
+                        us_o[km, i, 0] = dus[km, i]
+                    return ()
+
+                jax.lax.fori_loop(0, N + 1, dbg, ())
+                dt_o[0, 0] = scal[7]
+                for r_ in (rho_o, cost_o, eq_o, in_o, cv_o):
+                    r_[0, 0] = zero
+                return
+
+            # ---------- line search ---------------------------------------- #
+            dtau = scal[7]
+            cap = jnp.where(
+                jnp.abs(dtau) > 0.0,
+                jnp.minimum(
+                    1.0, dt_trust_frac * scal[0] / jnp.maximum(jnp.abs(dtau), 1e-30)
+                ),
+                1.0,
+            )
+            best_m = zero + _F32_MAX
+            best_a = zero
+            accepted = zero
+            for aj in alphas:
+                al = aj * cap
+                m = merit_candidate(al, rho)
+                m = jnp.where(jnp.isfinite(m), m, jnp.inf)
+                better = m < best_m
+                best_m = jnp.where(better, m, best_m)
+                best_a = jnp.where(better, al, best_a)
+                accepted = jnp.where(better, one, accepted)
+            # alpha = 0 candidate (merit clamped to f32 max)
+            m0 = jnp.minimum(merit_candidate(zero, rho), _F32_MAX)
+            m0 = jnp.where(jnp.isfinite(m0), m0, _F32_MAX)
+            better = m0 < best_m
+            best_a = jnp.where(better, zero, best_a)
+            accepted = jnp.where(better, zero, accepted)
+
+            # apply the winning candidate
+            def apply(k, _):
+                for i in range(2):
+                    xs_o[k, i, 0] = xs_o[k, i, 0] + best_a * dxs[k, i]
+                    # us has only N rows — guard the k = N pass (an
+                    # unconditional min()-clamped write would double-add
+                    # the increment to row N-1)
+                    km = jnp.minimum(k, N - 1)
+                    inc = jnp.where(k < N, best_a * dus[km, i], 0.0)
+                    us_o[km, i, 0] = us_o[km, i, 0] + inc
+                xs_o[k, 2, 0] = _wrap(xs_o[k, 2, 0] + best_a * dxs[k, 2])
+                return ()
+
+            jax.lax.fori_loop(0, N + 1, apply, ())
+            scal[0] = jnp.clip(scal[0] + best_a * scal[7], dt_lo, dt_hi)
+
+            reg = jnp.where(
+                accepted > 0.5,
+                jnp.maximum(reg * reg_shrink, reg_min),
+                jnp.minimum(jnp.maximum(reg, reg0) * reg_grow, reg_max),
+            )
+
+        # ---------------- dual update (phase end) -------------------------- #
+        rho = scal[1]
+        dtv = scal[0]
+
+        def dual_body(k, carry):
+            eq_m, in_m = carry
+            xk, uk, xk1 = read_x(k), read_u(k), read_x(k + 1)
+            up = read_uprev(k)
+            c, _, _, _ = defect(xk, uk, xk1, dtv)
+            for i in range(3):
+                ld_o[k, i, 0] = ld_o[k, i, 0] + rho * c[i]
+                eq_m = jnp.maximum(eq_m, jnp.abs(c[i]))
+            gs, _, _ = obs_terms(xk1)
+            for j in range(M):
+                mo_o[k, j, 0] = jnp.maximum(0.0, mo_o[k, j, 0] + rho * gs[j])
+                in_m = jnp.maximum(in_m, gs[j])
+            g_r = rate_g(uk, up, dtv)
+            for i in range(4):
+                mr_o[k, i, 0] = jnp.maximum(0.0, mr_o[k, i, 0] + rho * g_r[i])
+                in_m = jnp.maximum(in_m, g_r[i])
+            g_b = box_g(uk)
+            for i in range(4):
+                mb_o[k, i, 0] = jnp.maximum(0.0, mb_o[k, i, 0] + rho * g_b[i])
+                in_m = jnp.maximum(in_m, g_b[i])
+            return eq_m, in_m
+
+        eq_m, in_m = jax.lax.fori_loop(0, N, dual_body, (zero, zero))
+        te = term_eq(read_x(N))
+        for i in range(3):
+            if xf_fixed[i]:
+                lt_o[i, 0] = lt_o[i, 0] + rho * te[i]
+                eq_m = jnp.maximum(eq_m, jnp.abs(te[i]))
+            else:
+                lt_o[i, 0] = zero
+        g_d = dt_g(dtv)
+        for i in range(2):
+            if variable_dt:
+                md_o[i, 0] = jnp.maximum(0.0, md_o[i, 0] + rho * g_d[i])
+            in_m = jnp.maximum(in_m, g_d[i])
+        in_m = jnp.maximum(in_m, 0.0)
+
+        viol = jnp.maximum(eq_m, in_m)
+        grow = jnp.logical_or(
+            viol > viol_decrease_req * scal[6], viol > 0.05 * tol_eq
+        )
+        scal[1] = jnp.where(grow, jnp.minimum(rho * rho_growth, rho_max), rho)
+        scal[6] = viol
+        scal[8] = eq_m
+        scal[9] = in_m
+
+        # best-feasible snapshot
+        okc = jnp.logical_and(eq_m < tol_eq, in_m < tol_ineq).astype(f32)
+
+        def snap(k, _):
+            for i in range(3):
+                bxs[k, i] = jnp.where(okc > 0.5, xs_o[k, i, 0], bxs[k, i])
+            for i in range(2):
+                km = jnp.minimum(k, N - 1)
+                bus[km, i] = jnp.where(okc > 0.5, us_o[km, i, 0], bus[km, i])
+            return ()
+
+        jax.lax.fori_loop(0, N + 1, snap, ())
+        scal[2] = jnp.where(okc > 0.5, scal[0], scal[2])
+        scal[3] = jnp.where(okc > 0.5, eq_m, scal[3])
+        scal[4] = jnp.where(okc > 0.5, in_m, scal[4])
+        scal[5] = jnp.maximum(scal[5], okc)
+
+    # ---- final selection + outputs ---------------------------------------- #
+    eq_f, in_f = scal[8], scal[9]
+    final_ok = jnp.logical_and(eq_f < tol_eq, in_f < tol_ineq)
+    use_best = jnp.logical_and(scal[5] > 0.5, jnp.logical_not(final_ok)).astype(f32)
+
+    # jnp.where (not an arithmetic blend): the snapshot buffers are
+    # uninitialized garbage on lanes that never found a feasible iterate,
+    # and 0 * NaN = NaN would poison the final primal there.
+    ub = use_best > 0.5
+
+    def sel(k, _):
+        for i in range(3):
+            xs_o[k, i, 0] = jnp.where(ub, bxs[k, i], xs_o[k, i, 0])
+        for i in range(2):
+            km = jnp.minimum(k, N - 1)
+            us_o[km, i, 0] = jnp.where(ub, bus[km, i], us_o[km, i, 0])
+        return ()
+
+    jax.lax.fori_loop(0, N + 1, sel, ())
+    dt_fin = jnp.where(ub, scal[2], scal[0])
+    dt_o[0, 0] = dt_fin
+    rho_o[0, 0] = scal[1]
+    eq_o[0, 0] = jnp.where(ub, scal[3], eq_f)
+    in_o[0, 0] = jnp.where(ub, scal[4], in_f)
+    cv_o[0, 0] = jnp.logical_or(final_ok, scal[5] > 0.5).astype(f32)
+    cost = float(N) * dt_fin
+    if qf is not None:
+        xN = read_x(N)
+        dxq = [_wrap(xN[i] - xf[i, 0]) for i in range(3)]
+        cost = cost + sum(qf[i] * dxq[i] * dxq[i] for i in range(3))
+    cost_o[0, 0] = cost
+
+
+# --------------------------------------------------------------------------- #
+# host-side wrapper
+# --------------------------------------------------------------------------- #
+def _to_tiles(a, batch):
+    pad = (-batch) % BT
+    if pad:
+        a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+    a = jnp.moveaxis(a, 0, -1)
+    return a.reshape(a.shape[:-1] + (-1, SUBLANES, LANES))
+
+
+def _from_tiles(a, batch):
+    a = a.reshape(a.shape[:-3] + (-1,))
+    a = jnp.moveaxis(a, -1, 0)
+    return a[:batch]
+
+
+def _circle_slots(obs, batch, dtype):
+    """Flatten point + circle slots into (B, M, 2) centers / (B, M) radii,
+    (B, M) masks. Points are circles of radius zero (same distance kernel)."""
+    centers = []
+    radii = []
+    masks = []
+    if obs.points.shape[-2]:
+        centers.append(obs.points)
+        radii.append(jnp.zeros(obs.points.shape[:-1], dtype))
+        masks.append(obs.point_mask)
+    if obs.circles.shape[-2]:
+        centers.append(obs.circles)
+        radii.append(obs.circle_radii)
+        masks.append(obs.circle_mask)
+    if not centers:
+        z2 = jnp.zeros((batch, 0, 2), dtype)
+        return z2, jnp.zeros((batch, 0), dtype), jnp.zeros((batch, 0), bool)
+    return (
+        jnp.concatenate(centers, axis=-2),
+        jnp.concatenate(radii, axis=-1),
+        jnp.concatenate(masks, axis=-1),
+    )
+
+
+def fused_obstacles_supported(scenario) -> bool:
+    """The kernel handles point/circle slots; line/polygon slots must be
+    structurally absent (shape-0) — padded-but-masked rows are fine."""
+    o = scenario.obstacles
+    return o.lines.shape[-3] == 0 and o.polygons.shape[-3] == 0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "settings", "interpret", "debug_step")
+)
+def fused_solve(
+    spec, settings, scenario, init, duals,
+    interpret: bool = False, debug_step: bool = False,
+):
+    """Whole-solve fused kernel over a leading scenario batch.
+
+    Same contract as vmap(solve_single): returns a SolveResult whose duals
+    carry mu_ball unchanged (inactive in this scope).
+    """
+    from mpc_local_planner_tpu.solvers.al_sqp import DualState, SolveResult
+    from mpc_local_planner_tpu.ocp.grid import Primal
+
+    B = scenario.x0.shape[0]
+    N, M = spec.N, spec.obstacle_cap
+    f32 = jnp.float32
+    oc, orr, om = _circle_slots(scenario.obstacles, B, f32)
+    if oc.shape[-2] != M:
+        raise ValueError(
+            f"fused kernel: {oc.shape[-2]} point+circle slots != obstacle_cap {M}"
+        )
+    dt0 = jnp.broadcast_to(jnp.asarray(init.dt, f32), (B,))
+
+    tiled = [
+        _to_tiles(jnp.asarray(a, f32), B)
+        for a in (
+            init.xs, init.us, dt0[:, None], scenario.xf, scenario.u_prev,
+            oc, orr[..., None] * 1.0, om.astype(f32)[..., None] * 1.0,
+            duals.lam_def, duals.lam_term, duals.mu_obs, duals.mu_rate,
+            duals.mu_box, duals.mu_dt, duals.rho[:, None],
+        )
+    ]
+    # squeeze the dummy [:, None] dims back: dt (1,), orr (M,1)->(M,), om …
+    # (kept as trailing length-1 leading dims in tile space: shapes below)
+    G = tiled[0].shape[-3]
+
+    # static kernel parameters: force concrete evaluation even when the
+    # caller wrapped fused_solve in an outer jit (control_box builds jnp
+    # arrays, which would otherwise be tracers here)
+    with jax.ensure_compile_time_eval():
+        lo_u, hi_u = spec.control_box()
+        lo_r, hi_r = spec.control_rate_box()
+        lo_u = tuple(float(v) for v in lo_u)
+        hi_u = tuple(float(v) for v in hi_u)
+        lo_r = tuple(float(v) for v in lo_r)
+        hi_r = tuple(float(v) for v in hi_r)
+    qf = tuple(float(q) for q in spec.qf_diag) if spec.qf_diag is not None else None
+    model = "unicycle" if isinstance(spec.model, UnicycleModel) else "simple_car"
+    foot_r = float(getattr(spec.footprint, "radius", 0.0))
+
+    kernel = functools.partial(
+        _fused_kernel,
+        N=N, M=M, model=model,
+        wheelbase=float(getattr(spec.model, "wheelbase", 1.0)),
+        lo_u=lo_u, hi_u=hi_u, lo_r=lo_r, hi_r=hi_r,
+        min_dist=float(spec.min_obstacle_dist), foot_r=foot_r,
+        xf_fixed=tuple(bool(b) for b in spec.xf_fixed),
+        variable_dt=bool(spec.variable_dt),
+        dt_min=float(spec.dt_min), dt_max=float(spec.dt_max),
+        dt_ref=float(spec.dt_ref), qf=qf,
+        n_al=settings.n_al, n_sqp=settings.n_sqp,
+        alphas=tuple(float(a) for a in settings.alphas),
+        dt_trust_frac=float(settings.dt_trust_frac),
+        rho0=float(settings.rho0), rho_growth=float(settings.rho_growth),
+        rho_max=float(settings.rho_max),
+        reg0=float(settings.reg0), reg_shrink=float(settings.reg_shrink),
+        reg_grow=float(settings.reg_grow), reg_min=float(settings.reg_min),
+        reg_max=float(settings.reg_max),
+        viol_decrease_req=float(settings.viol_decrease_req),
+        tol_eq=float(settings.tol_eq), tol_ineq=float(settings.tol_ineq),
+        debug_step=debug_step,
+    )
+
+    def spec_of(a):
+        blk = a.shape[:-3] + (1, SUBLANES, LANES)
+        nlead = len(a.shape) - 3
+        return pl.BlockSpec(
+            blk, (lambda g, _n=nlead: (0,) * _n + (g, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    def oshape(*lead):
+        return jax.ShapeDtypeStruct(lead + (G, SUBLANES, LANES), f32)
+
+    out_shapes = [
+        oshape(N + 1, 3), oshape(N, 2), oshape(1),          # xs, us, dt
+        oshape(N, 3), oshape(3), oshape(N, M),               # lam_def, lam_term, mu_obs
+        oshape(N, 4), oshape(N, 4), oshape(2), oshape(1),    # mu_rate, mu_box, mu_dt, rho
+        oshape(1), oshape(1), oshape(1), oshape(1),          # cost, eq, ineq, conv
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[spec_of(a) for a in tiled],
+        out_specs=[spec_of(s) for s in out_shapes],
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((6, 6, SUBLANES, LANES), f32),            # P
+            pltpu.VMEM((6, SUBLANES, LANES), f32),               # pv / z
+            pltpu.VMEM((N, 2, 6, SUBLANES, LANES), f32),         # K tape
+            pltpu.VMEM((N, 2, SUBLANES, LANES), f32),            # kff tape
+            pltpu.VMEM((N + 1, 3, SUBLANES, LANES), f32),        # dxs
+            pltpu.VMEM((N, 2, SUBLANES, LANES), f32),            # dus
+            pltpu.VMEM((N + 1, 3, SUBLANES, LANES), f32),        # best xs
+            pltpu.VMEM((N, 2, SUBLANES, LANES), f32),            # best us
+            pltpu.VMEM((10, SUBLANES, LANES), f32),              # scalars
+        ],
+        interpret=interpret,
+    )(*tiled)
+
+    xs, us, dt, ld, lt, mo, mr, mb, md, rho, cost, eq, ineq, conv = outs
+    ft = lambda a: _from_tiles(a, B)  # noqa: E731
+    dtype = init.xs.dtype
+    return SolveResult(
+        primal=Primal(
+            xs=ft(xs).astype(dtype), us=ft(us).astype(dtype),
+            dt=ft(dt)[..., 0].astype(dtype),
+        ),
+        duals=DualState(
+            lam_def=ft(ld).astype(dtype), lam_term=ft(lt).astype(dtype),
+            mu_obs=ft(mo).astype(dtype), mu_rate=ft(mr).astype(dtype),
+            mu_box=ft(mb).astype(dtype), mu_dt=ft(md).astype(dtype),
+            mu_ball=duals.mu_ball, rho=ft(rho)[..., 0].astype(dtype),
+        ),
+        cost=ft(cost)[..., 0].astype(dtype),
+        eq_norm=ft(eq)[..., 0].astype(dtype),
+        ineq_viol=ft(ineq)[..., 0].astype(dtype),
+        converged=ft(conv)[..., 0] > 0.5,
+    )

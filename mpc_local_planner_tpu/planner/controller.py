@@ -148,10 +148,17 @@ class Controller:
             spec = self._spec
             solve_one = self._solve_single
 
-            def _solve(scenario, init, duals):
-                return solve_one(spec, settings, scenario, init, duals)
+            if self.batch is not None and solve_one is solve_single:
+                # batched al_sqp: route through the auto wrapper so the
+                # fused whole-solve Pallas kernel engages when in scope
+                from mpc_local_planner_tpu.solvers.al_sqp import solve_single_auto
 
-            fn = jax.jit(jax.vmap(_solve) if self.batch is not None else _solve)
+                fn = jax.jit(jax.vmap(solve_single_auto(spec, settings)))
+            else:
+                def _solve(scenario, init, duals):
+                    return solve_one(spec, settings, scenario, init, duals)
+
+                fn = jax.jit(jax.vmap(_solve) if self.batch is not None else _solve)
             self._cache[key] = fn
         return fn
 

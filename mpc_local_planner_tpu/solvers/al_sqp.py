@@ -90,6 +90,12 @@ class SolverSettings:
     # scan; "pallas" forces the kernel dispatch wrapper; "pscan" = the
     # horizon-parallel associative scan (same as horizon_parallel=True).
     kkt: str = "auto"
+    # whole-solve fused Pallas kernel (ops/fused_al_sqp_pallas): "auto" =
+    # use it for vmapped solves when the spec/backend are in scope (measured
+    # 4.9x the XLA warm cycle at batch 4096); "off" = always the XLA path.
+    # Only consulted by solve_single_auto / make_solver — calling
+    # solve_single directly always runs the XLA path.
+    fused: str = "auto"
 
     @staticmethod
     def for_spec(spec, **overrides) -> "SolverSettings":
@@ -918,20 +924,82 @@ def _solve_single_impl(
     )
 
 
+def solve_single_auto(spec: OcpSpec, settings: SolverSettings):
+    """solve_single with transparent whole-solve-kernel dispatch under vmap.
+
+    Returns a function with the unbatched ``solve_single(scenario, init,
+    duals)`` signature wrapped in ``jax.custom_batching.custom_vmap``: called
+    unbatched it runs the XLA path; under scenario vmap on TPU at float32 it
+    runs the ENTIRE batched solve through the fused Pallas mega-kernel
+    (ops/fused_al_sqp_pallas — measured 8.9 ms vs 43.4 ms for the XLA warm
+    2x3 cycle at batch 4096, N=30 on v5e, identical convergence flags).
+    Falls back to vmap(solve_single) outside the kernel's guard-checked
+    scope (spec features, obstacle slot types, dtype, backend, or a budget
+    too deep to unroll).
+    """
+    from jax.custom_batching import custom_vmap
+
+    from mpc_local_planner_tpu.ops.fused_al_sqp_pallas import (
+        fused_obstacles_supported,
+        fused_solve,
+        fused_supported,
+    )
+
+    @custom_vmap
+    def solve(scenario, init, duals):
+        return solve_single(spec, settings, scenario, init, duals)
+
+    @solve.def_vmap
+    def _batched(axis_size, in_batched, scenario, init, duals):
+        def bcast(tree, flags):
+            return jax.tree_util.tree_map(
+                lambda a, b: a if b else jnp.broadcast_to(
+                    a, (axis_size,) + jnp.shape(a)
+                ),
+                tree, flags,
+            )
+
+        scenario = bcast(scenario, in_batched[0])
+        init = bcast(init, in_batched[1])
+        duals = bcast(duals, in_batched[2])
+        use_fused = (
+            settings.fused != "off"
+            and fused_supported(spec)
+            and fused_obstacles_supported(scenario)
+            and init.xs.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+            # the kernel unrolls the n_al x n_sqp schedule; cold budgets
+            # (hundreds of iterations) would blow up the program size
+            and settings.n_al * settings.n_sqp <= 16
+        )
+        if use_fused:
+            out = fused_solve(spec, settings, scenario, init, duals)
+        else:
+            out = jax.vmap(
+                lambda s, i, d: solve_single(spec, settings, s, i, d)
+            )(scenario, init, duals)
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    return solve
+
+
 def make_solver(spec: OcpSpec, settings: Optional[SolverSettings] = None, batched: bool = True):
     """Build the jitted solve function for a spec.
 
     Returns solve(scenario, init, duals) → SolveResult. With batched=True all
     arguments carry one leading batch axis (the scenario ensemble); compile
-    once per (spec, batch shape).
+    once per (spec, batch shape). The batched path auto-dispatches to the
+    fused whole-solve Pallas kernel when the spec/backend support it (see
+    solve_single_auto).
     """
     settings = settings or SolverSettings()
+
+    if batched:
+        return jax.jit(jax.vmap(solve_single_auto(spec, settings)))
 
     def solve(scenario, init, duals):
         return solve_single(spec, settings, scenario, init, duals)
 
-    if batched:
-        solve = jax.vmap(solve)
     return jax.jit(solve)
 
 

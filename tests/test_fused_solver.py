@@ -1,0 +1,165 @@
+"""Fused whole-solve Pallas kernel vs the XLA AL-SQP path.
+
+The kernel (ops/fused_al_sqp_pallas) re-implements solvers/al_sqp's exact
+iteration with hand-derived closed-form derivatives, so equivalence is
+checked END TO END: same primal, duals, constraint norms, and convergence
+flags after a full multi-phase solve, in Pallas interpret mode on CPU
+(the TPU dispatch path is exercised by bench.py on hardware).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_local_planner_tpu.benchmarks import config3_carlike_min_time, random_ensemble
+from mpc_local_planner_tpu.ocp.grid import initial_primal
+from mpc_local_planner_tpu.ops.fused_al_sqp_pallas import (
+    fused_obstacles_supported,
+    fused_solve,
+    fused_supported,
+)
+from mpc_local_planner_tpu.solvers.al_sqp import (
+    SolverSettings,
+    init_duals,
+    solve_single,
+)
+
+WARM = SolverSettings(
+    n_al=2, n_sqp=3, rho0=120.0, reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3,
+    alphas=(1.0, 0.7, 0.5, 0.35, 0.22, 0.14, 0.08, 0.03),
+)
+
+
+def _setup(N=8, M=4, batch=16, key=0):
+    spec = config3_carlike_min_time(N=N, obstacle_cap=M)
+    scen = random_ensemble(spec, batch, jax.random.PRNGKey(key))
+    scen = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a, scen
+    )
+    init = initial_primal(spec, scen)
+    duals = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (batch,) + a.shape),
+        init_duals(spec, WARM, dtype=jnp.float32),
+    )
+    return spec, scen, init, duals
+
+
+def test_flagship_spec_in_scope():
+    spec, scen, _, _ = _setup()
+    assert fused_supported(spec)
+    assert fused_obstacles_supported(scen)
+
+
+def test_out_of_scope_specs_rejected():
+    spec = config3_carlike_min_time(N=8, obstacle_cap=4)
+    assert not fused_supported(
+        dataclasses.replace(spec, collocation="midpoint_differences")
+    )
+    assert not fused_supported(dataclasses.replace(spec, nonuniform_dt=True))
+    assert not fused_supported(
+        dataclasses.replace(spec, objective="quadratic_form")
+    )
+    assert not fused_supported(
+        dataclasses.replace(spec, enable_dynamic_obstacles=True)
+    )
+    assert not fused_supported(dataclasses.replace(spec, ball_radius=0.5))
+
+
+def test_fused_matches_xla_end_to_end():
+    """Full 2x3 warm solve: primal/duals/flags equal at f32 tolerance."""
+    spec, scen, init, duals = _setup()
+    ref = jax.jit(
+        jax.vmap(lambda s, i, d: solve_single(spec, WARM, s, i, d))
+    )(scen, init, duals)
+    out = fused_solve(spec, WARM, scen, init, duals, interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(out.primal.xs), np.asarray(ref.primal.xs), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.primal.us), np.asarray(ref.primal.us), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.primal.dt), np.asarray(ref.primal.dt), atol=5e-6
+    )
+    for name in ("lam_def", "lam_term", "mu_obs", "mu_rate", "mu_box",
+                 "mu_dt", "rho"):
+        a = np.asarray(getattr(out.duals, name))
+        b = np.asarray(getattr(ref.duals, name))
+        np.testing.assert_allclose(a, b, atol=5e-3, rtol=1e-3)
+    assert np.array_equal(
+        np.asarray(out.converged), np.asarray(ref.converged)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.eq_norm), np.asarray(ref.eq_norm), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.cost), np.asarray(ref.cost), atol=1e-5
+    )
+
+
+def test_fused_unicycle_and_fixed_dt():
+    """Unicycle model + fixed-dt (quadratic-free min-time degenerate) paths."""
+    from mpc_local_planner_tpu.geometry.footprints import PointFootprint
+    from mpc_local_planner_tpu.systems.models import RobotLimits, UnicycleModel
+    from mpc_local_planner_tpu.ocp.spec import OcpSpec
+
+    spec = OcpSpec(
+        model=UnicycleModel(), footprint=PointFootprint(), N=6,
+        objective="minimum_time", variable_dt=True, dt_min=1e-3, dt_max=0.5,
+        dt_ref=0.3, xf_fixed=(True, True, True), min_obstacle_dist=0.1,
+        obstacle_cap=2,
+        limits=RobotLimits(max_vel_x=0.4, max_vel_x_backwards=0.2,
+                           max_vel_theta=0.3, acc_lim_x=0.5),
+    )
+    assert fused_supported(spec)
+    scen = random_ensemble(spec, 8, jax.random.PRNGKey(2))
+    init = initial_primal(spec, scen)
+    duals = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (8,) + a.shape),
+        init_duals(spec, WARM, dtype=jnp.float32),
+    )
+    ref = jax.jit(
+        jax.vmap(lambda s, i, d: solve_single(spec, WARM, s, i, d))
+    )(scen, init, duals)
+    out = fused_solve(spec, WARM, scen, init, duals, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out.primal.xs), np.asarray(ref.primal.xs), atol=5e-5
+    )
+    assert np.array_equal(np.asarray(out.converged), np.asarray(ref.converged))
+
+
+def test_auto_wrapper_falls_back_on_cpu():
+    """solve_single_auto under vmap on CPU must take the XLA path and agree."""
+    from mpc_local_planner_tpu.solvers.al_sqp import solve_single_auto
+
+    spec, scen, init, duals = _setup(N=6, M=2, batch=4)
+    auto = jax.jit(jax.vmap(solve_single_auto(spec, WARM)))
+    ref = jax.jit(
+        jax.vmap(lambda s, i, d: solve_single(spec, WARM, s, i, d))
+    )(scen, init, duals)
+    out = auto(scen, init, duals)
+    np.testing.assert_allclose(
+        np.asarray(out.primal.xs), np.asarray(ref.primal.xs), atol=1e-6
+    )
+    assert np.array_equal(np.asarray(out.converged), np.asarray(ref.converged))
+
+
+def test_warm_cycle_through_fused_matches_policy():
+    """A warm-start MPC cycle built on the fused result behaves like the XLA
+    one (the SolveResult contract is complete: duals shift, primal advances)."""
+    from mpc_local_planner_tpu.ocp.grid import warm_start_resample
+    from mpc_local_planner_tpu.solvers.al_sqp import shift_duals
+
+    spec, scen, init, duals = _setup(N=6, M=2, batch=4)
+    out = fused_solve(spec, WARM, scen, init, duals, interpret=True)
+    x0n = jnp.where(out.converged[:, None], out.primal.xs[:, 1, :], scen.x0)
+    initn = warm_start_resample(out.primal, x0n, steps=1, spec=spec)
+    dn = jax.vmap(lambda d: shift_duals(d, WARM, steps=1))(out.duals)
+    scen2 = dataclasses.replace(scen, x0=x0n)
+    out2 = fused_solve(spec, WARM, scen2, initn, dn, interpret=True)
+    assert np.all(np.isfinite(np.asarray(out2.primal.xs)))
+    assert np.asarray(out2.eq_norm).shape == (4,)

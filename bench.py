@@ -26,12 +26,13 @@ import jax.numpy as jnp
 def latency_mode():
     """Single-robot warm-solve latency (BASELINE: p99 ≪ 100 ms cycle budget).
 
-    Uses the sequential-scan KKT solve on a batch-1 warm-started min-time
-    solve — measured the batch-1 winner on v5e (p99 ms over 200 warm cycles:
-    scan 54.2, pscan 60.1, pallas-vmap 107.2; the pscan's log2(N) depth does
-    not pay for its extra FLOPs at N=30, and the Pallas kernel's grid setup
-    is pure overhead at batch 1). Prints one JSON line with p50/p95/p99.
-    Run via BENCH_MODE=latency.
+    Batch-1 warm solve on the unbatched XLA scan-KKT path — measured the
+    batch-1 winner on v5e (this session: scan p50 ~51-66 ms vs fused-kernel
+    batch-1 p50 ~95 ms: the tile relayout + dispatch overhead of the fused
+    path dominates when only one lane is live). All batch-1 numbers are
+    tunnel-round-trip-bound and vary ~2x by session; on-metal deployments
+    do not pay it (BENCH_NOTES 2026-08-18). Prints one JSON line with
+    p50/p95/p99. Run via BENCH_MODE=latency.
     """
     import numpy as np
 
@@ -98,12 +99,16 @@ def latency_mode():
 def fleet_mode():
     """Sustained large-fleet throughput (BASELINE: 1k → 64k ensembles).
 
-    BENCH_TOTAL scenarios (default 65536) live device-resident as
-    BENCH_BATCH-sized chunks (default 4096 — the largest stable dispatch on
-    this bridge; ≥8192 crashes the worker); every round runs one warm MPC
-    cycle per chunk, time-slicing the chip across the fleet. Measures the
-    aggregate steady-state rate a 64k-robot serving deployment would see
-    from one chip. Run via BENCH_MODE=fleet.
+    BENCH_TOTAL scenarios (default 65536) live device-resident stacked as
+    (n_chunks, BENCH_BATCH, ...) and every round runs ONE jitted
+    lax.scan over the chunks (one warm MPC cycle per chunk), time-slicing
+    the chip across the fleet in a single dispatch. The previous
+    per-chunk-dispatch loop paid ~19 ms of tunnel overhead per 9 ms chunk
+    (BENCH_NOTES 2026-08-18); the in-graph scan pays it once per round.
+    BENCH_BATCH default 4096: the fused kernel's measured throughput knee,
+    and the largest stable single dispatch on this bridge when the scan is
+    disabled (BENCH_FLEET_SCAN=0 restores the per-chunk dispatch loop for
+    A/B). Run via BENCH_MODE=fleet.
     """
     import os
 
@@ -155,7 +160,7 @@ def fleet_mode():
         dn = sel(diverged, duals0, dn)
         return scen, warm_solve(scen, initn, dn)
 
-    cycle = jax.jit(cycle)
+    cycle_jit = jax.jit(cycle)
 
     fleet = []
     for k in range(n_chunks):
@@ -164,15 +169,37 @@ def fleet_mode():
             init = initial_primal(spec, scen)
         scen, init = jax.device_put((scen, init), dev)
         r = cold_solve(scen, init, duals0)
-        scen, r = cycle(scen, r)  # settle one warm cycle
+        scen, r = cycle_jit(scen, r)  # settle one warm cycle
         fleet.append((scen, r))
     _ = float(jnp.sum(fleet[-1][1].cost))
 
-    rounds = 3
-    t0 = time.perf_counter()
-    for _round in range(rounds):
-        fleet = [cycle(s, r) for s, r in fleet]
-    n_conv = sum(int(jnp.sum(r.converged)) for _, r in fleet)  # forces chain
+    use_scan = os.environ.get("BENCH_FLEET_SCAN", "1") != "0"
+    rounds = int(os.environ.get("BENCH_ROUNDS", "8"))
+    if use_scan:
+        # stack the fleet to (n_chunks, chunk, ...) and run the whole round
+        # as one dispatch: lax.scan over chunks, one warm cycle per step
+        fleet_state = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *fleet)
+
+        @jax.jit
+        def one_round(state):
+            def step(_, sr):
+                s, r = cycle(sr[0], sr[1])
+                return (), (s, r)
+
+            _, out = jax.lax.scan(step, (), state)
+            return out
+
+        fleet_state = one_round(fleet_state)  # compile + settle
+        _ = float(jnp.sum(fleet_state[1].cost))
+        t0 = time.perf_counter()
+        for _round in range(rounds):
+            fleet_state = one_round(fleet_state)
+        n_conv = int(jnp.sum(fleet_state[1].converged))  # forces chain
+    else:
+        t0 = time.perf_counter()
+        for _round in range(rounds):
+            fleet = [cycle_jit(s, r) for s, r in fleet]
+        n_conv = sum(int(jnp.sum(r.converged)) for _, r in fleet)  # forces chain
     dt = (time.perf_counter() - t0) / rounds
     sps = total / dt
     conv = n_conv / total
@@ -186,6 +213,7 @@ def fleet_mode():
                 "extra": {
                     "fleet": total,
                     "chunk": chunk,
+                    "in_graph_scan": use_scan,
                     "round_ms": round(dt * 1e3, 2),
                     "total_solves_per_s": round(sps, 1),
                     "converged_frac": round(conv, 3),

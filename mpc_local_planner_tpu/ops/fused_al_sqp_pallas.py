@@ -33,10 +33,12 @@ tests/test_fused_solver.py).
 Scope (``fused_supported(spec)``): uniform grid (fixed or shared
 variable dt), forward-difference collocation, minimum_time objective
 (optional terminal quadratic cost), unicycle or simple_car (rear-drive)
-model, point/circular footprint, point/circle obstacle slots only, static
-obstacles, no via points, no terminal ball. Everything else falls back to
-the XLA path. Parity anchor: this is the BASELINE config #3 / #4 flagship
-serving workload (benchmarks.config3_carlike_min_time).
+model, point/circular footprint, point/circle obstacle slots only
+(static or dynamic — constant-velocity prediction at the solve's initial
+dt, hoisted per-cycle exactly like al_sqp._stage_obstacles), no via
+points, no terminal ball. Everything else falls back to the XLA path.
+Parity anchor: this is the BASELINE config #3 / #4 flagship serving
+workload (benchmarks.config3_carlike_min_time).
 """
 
 from __future__ import annotations
@@ -69,7 +71,6 @@ def fused_supported(spec) -> bool:
         and spec.objective == "minimum_time"
         and spec.via_cap == 0
         and spec.ball_radius <= 0.0
-        and not spec.enable_dynamic_obstacles
         and spec.nu == 2
         and isinstance(spec.model, (UnicycleModel, SimpleCarModel))
         and type(spec.model) in (UnicycleModel, SimpleCarModel)  # not front-wheel subclass
@@ -132,7 +133,7 @@ def _wrap(th):
 # --------------------------------------------------------------------------- #
 def _fused_kernel(
     # inputs (all (..., 1, S, L) blocks)
-    xs_i, us_i, dt_i, xf, u_prev, oc, orr, om,
+    xs_i, us_i, dt_i, xf, u_prev, oc, orr, om, ov,
     ld_i, lt_i, mo_i, mr_i, mb_i, md_i, rho_i,
     # outputs
     xs_o, us_o, dt_o, ld_o, lt_o, mo_o, mr_o, mb_o, md_o, rho_o,
@@ -140,7 +141,7 @@ def _fused_kernel(
     # scratch
     P, pv, Ks, kffs, dxs, dus, bxs, bus, scal,
     *,
-    N: int, M: int, model: str, wheelbase: float,
+    N: int, M: int, model: str, wheelbase: float, dynamic: bool,
     lo_u, hi_u, lo_r, hi_r, min_dist: float, foot_r: float,
     xf_fixed, variable_dt: bool, dt_min: float, dt_max: float, dt_ref: float,
     qf, n_al: int, n_sqp: int, alphas, dt_trust_frac: float,
@@ -244,13 +245,29 @@ def _fused_kernel(
         G = [[_mul(dtv, Ju[i][j]) for j in range(2)] for i in range(3)]
         return c, F, G, f
 
-    def obs_terms(x):
+    def obs_terms(x, i, dt_pred=None):
         """Per-slot obstacle inequality g_j = min_dist - d_j and the position
-        gradient dg/dp = -(p - c)/safe_norm; masked slots: g = min_dist - BIG."""
+        gradient dg/dp = -(p - c)/safe_norm; masked slots: g = min_dist - BIG.
+
+        ``i`` is the POSE index (0..N): with dynamic obstacles the slot
+        centers are extrapolated to t = i * dt_pred. DERIVATIVE assembly
+        (stage_grad_hess / terminal_Pp) uses the default — the solve's
+        INITIAL dt, matching the per-cycle hoisted stage data of
+        al_sqp._stage_obstacles (the f32 product i * dt matches
+        arange(n) * stop_gradient(dt) bitwise since the index is exactly
+        representable). The LINE-SEARCH merit passes the candidate's
+        clipped dt and the DUAL update the current dt: al_sqp._al_merit and
+        _update_duals both re-evaluate constraints.obstacle_inequalities at
+        primal.dt, not the hoisted set."""
+        if dt_pred is None:
+            dt_pred = dt_i[0, 0]
+        t = dt_pred * i if dynamic else 0.0
         gs, gx, gy = [], [], []
         for j in range(M):
-            dx0 = x[0] - oc[j, 0, 0]
-            dy0 = x[1] - oc[j, 1, 0]
+            cxj = _add(oc[j, 0, 0], _mul(ov[j, 0, 0], t))
+            cyj = _add(oc[j, 1, 0], _mul(ov[j, 1, 0], t))
+            dx0 = x[0] - cxj
+            dy0 = x[1] - cyj
             dn = jnp.sqrt(dx0 * dx0 + dy0 * dy0 + _EPS)
             d = dn - orr[j, 0, 0] - foot_r
             g = min_dist - jnp.where(om[j, 0, 0] > 0.5, d, _BIG)
@@ -346,8 +363,10 @@ def _fused_kernel(
             ]
             c, _, _, _ = defect(xk, uk, xk1, dtv)
             m = m + phi_sum(c, [ld_o[k, i, 0] for i in range(3)], rho)
-            # obstacle rows: row k of (N, M) belongs to pose x_{k+1}
-            gs, _, _ = obs_terms(xk1)
+            # obstacle rows: row k of (N, M) belongs to pose x_{k+1};
+            # prediction at the CANDIDATE dt (al_sqp._al_merit evaluates
+            # obstacle_inequalities at the candidate primal.dt)
+            gs, _, _ = obs_terms(xk1, k + 1, dt_pred=dtv)
             m = m + psi_sum(gs, [mo_o[k, j, 0] for j in range(M)], rho)
             m = m + psi_sum(rate_g(uk, up, dtv), [mr_o[k, i, 0] for i in range(4)], rho)
             m = m + psi_sum(box_g(uk), [mb_o[k, i, 0] for i in range(4)], rho)
@@ -388,7 +407,7 @@ def _fused_kernel(
                 if qf[i] != 0.0:
                     Pm[i][i] = _add(Pm[i][i], 2.0 * qf[i])
                     pm[i] = _add(pm[i], 2.0 * qf[i] * _wrap(xN[i] - xf[i, 0]))
-        gs, gx, gy = obs_terms(xN)
+        gs, gx, gy = obs_terms(xN, N)
         for j in range(M):
             mu = mo_o[N - 1, j, 0]
             a = jnp.maximum(0.0, mu + rho * gs[j])
@@ -438,7 +457,7 @@ def _fused_kernel(
         # obstacles at x_k (row k-1; inactive when k == 0)
         on = (k > 0).astype(f32)
         km1 = jnp.maximum(k - 1, 0)
-        gs, gx, gy = obs_terms(xk)
+        gs, gx, gy = obs_terms(xk, k)
         for j in range(M):
             mu = mo_o[km1, j, 0] * on
             a = jnp.maximum(0.0, mu + rho * gs[j]) * on
@@ -763,7 +782,7 @@ def _fused_kernel(
             for i in range(3):
                 ld_o[k, i, 0] = ld_o[k, i, 0] + rho * c[i]
                 eq_m = jnp.maximum(eq_m, jnp.abs(c[i]))
-            gs, _, _ = obs_terms(xk1)
+            gs, _, _ = obs_terms(xk1, k + 1, dt_pred=dtv)
             for j in range(M):
                 mo_o[k, j, 0] = jnp.maximum(0.0, mo_o[k, j, 0] + rho * gs[j])
                 in_m = jnp.maximum(in_m, gs[j])
@@ -870,25 +889,30 @@ def _from_tiles(a, batch):
 
 def _circle_slots(obs, batch, dtype):
     """Flatten point + circle slots into (B, M, 2) centers / (B, M) radii,
-    (B, M) masks. Points are circles of radius zero (same distance kernel)."""
+    (B, M) masks, (B, M, 2) velocities. Points are circles of radius zero
+    (same distance kernel)."""
     centers = []
     radii = []
     masks = []
+    vels = []
     if obs.points.shape[-2]:
         centers.append(obs.points)
         radii.append(jnp.zeros(obs.points.shape[:-1], dtype))
         masks.append(obs.point_mask)
+        vels.append(obs.point_vels)
     if obs.circles.shape[-2]:
         centers.append(obs.circles)
         radii.append(obs.circle_radii)
         masks.append(obs.circle_mask)
+        vels.append(obs.circle_vels)
     if not centers:
         z2 = jnp.zeros((batch, 0, 2), dtype)
-        return z2, jnp.zeros((batch, 0), dtype), jnp.zeros((batch, 0), bool)
+        return z2, jnp.zeros((batch, 0), dtype), jnp.zeros((batch, 0), bool), z2
     return (
         jnp.concatenate(centers, axis=-2),
         jnp.concatenate(radii, axis=-1),
         jnp.concatenate(masks, axis=-1),
+        jnp.concatenate(vels, axis=-2),
     )
 
 
@@ -917,7 +941,7 @@ def fused_solve(
     B = scenario.x0.shape[0]
     N, M = spec.N, spec.obstacle_cap
     f32 = jnp.float32
-    oc, orr, om = _circle_slots(scenario.obstacles, B, f32)
+    oc, orr, om, ovl = _circle_slots(scenario.obstacles, B, f32)
     if oc.shape[-2] != M:
         raise ValueError(
             f"fused kernel: {oc.shape[-2]} point+circle slots != obstacle_cap {M}"
@@ -928,7 +952,7 @@ def fused_solve(
         _to_tiles(jnp.asarray(a, f32), B)
         for a in (
             init.xs, init.us, dt0[:, None], scenario.xf, scenario.u_prev,
-            oc, orr[..., None] * 1.0, om.astype(f32)[..., None] * 1.0,
+            oc, orr[..., None] * 1.0, om.astype(f32)[..., None] * 1.0, ovl,
             duals.lam_def, duals.lam_term, duals.mu_obs, duals.mu_rate,
             duals.mu_box, duals.mu_dt, duals.rho[:, None],
         )
@@ -955,6 +979,7 @@ def fused_solve(
         _fused_kernel,
         N=N, M=M, model=model,
         wheelbase=float(getattr(spec.model, "wheelbase", 1.0)),
+        dynamic=bool(spec.enable_dynamic_obstacles),
         lo_u=lo_u, hi_u=hi_u, lo_r=lo_r, hi_r=hi_r,
         min_dist=float(spec.min_obstacle_dist), foot_r=foot_r,
         xf_fixed=tuple(bool(b) for b in spec.xf_fixed),

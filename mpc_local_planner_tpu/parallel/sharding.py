@@ -61,11 +61,14 @@ def make_sharded_solver(spec, settings: Optional[SolverSettings] = None, mesh: O
     across devices from the input shardings — no collectives in the solve.
     """
     settings = settings or SolverSettings.for_spec(spec)
+    # auto wrapper: each device's shard runs the fused whole-solve Pallas
+    # kernel when in scope (TPU, f32, flagship spec family); XLA elsewhere
+    from mpc_local_planner_tpu.solvers.al_sqp import solve_single_auto
+
+    _solve_one = solve_single_auto(spec, settings)
 
     def solve(scenario, init, duals):
-        return jax.vmap(lambda s, i, d: solve_single(spec, settings, s, i, d))(
-            scenario, init, duals
-        )
+        return jax.vmap(_solve_one)(scenario, init, duals)
 
     if mesh is None:
         return jax.jit(solve)

@@ -62,10 +62,11 @@ def test_out_of_scope_specs_rejected():
     assert not fused_supported(
         dataclasses.replace(spec, objective="quadratic_form")
     )
-    assert not fused_supported(
+    assert not fused_supported(dataclasses.replace(spec, ball_radius=0.5))
+    # dynamic obstacles ARE in scope
+    assert fused_supported(
         dataclasses.replace(spec, enable_dynamic_obstacles=True)
     )
-    assert not fused_supported(dataclasses.replace(spec, ball_radius=0.5))
 
 
 def test_fused_matches_xla_end_to_end():
@@ -98,6 +99,49 @@ def test_fused_matches_xla_end_to_end():
     )
     np.testing.assert_allclose(
         np.asarray(out.cost), np.asarray(ref.cost), atol=1e-5
+    )
+
+
+def test_fused_dynamic_obstacles_match_xla():
+    """Dynamic-obstacle prediction (center + v * i * dt0, per-cycle stage
+    data) must agree with al_sqp._stage_obstacles through the whole solve."""
+    spec, scen, init, duals = _setup(N=8, M=4, batch=16, key=5)
+    spec = dataclasses.replace(spec, enable_dynamic_obstacles=True)
+    # give every point slot a velocity crossing the corridor
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    obs = scen.obstacles
+    obs = dataclasses.replace(
+        obs,
+        point_vels=jax.random.uniform(
+            k1, obs.point_vels.shape, jnp.float32, -0.6, 0.6
+        ),
+        circle_vels=jax.random.uniform(
+            k2, obs.circle_vels.shape, jnp.float32, -0.6, 0.6
+        ),
+    )
+    scen = dataclasses.replace(scen, obstacles=obs)
+    assert fused_supported(spec) and fused_obstacles_supported(scen)
+    ref = jax.jit(
+        jax.vmap(lambda s, i, d: solve_single(spec, WARM, s, i, d))
+    )(scen, init, duals)
+    out = fused_solve(spec, WARM, scen, init, duals, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out.primal.xs), np.asarray(ref.primal.xs), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.primal.dt), np.asarray(ref.primal.dt), atol=5e-6
+    )
+    assert np.array_equal(np.asarray(out.converged), np.asarray(ref.converged))
+    np.testing.assert_allclose(
+        np.asarray(out.ineq_viol), np.asarray(ref.ineq_viol), atol=1e-5
+    )
+    # the dynamic path must actually differ from the static interpretation
+    static = fused_solve(
+        dataclasses.replace(spec, enable_dynamic_obstacles=False),
+        WARM, scen, init, duals, interpret=True,
+    )
+    assert not np.allclose(
+        np.asarray(out.primal.xs), np.asarray(static.primal.xs), atol=1e-4
     )
 
 

@@ -31,14 +31,16 @@ hand-derived for this scope and tested against the AD path in
 tests/test_fused_solver.py).
 
 Scope (``fused_supported(spec)``): uniform grid (fixed or shared
-variable dt), forward-difference collocation, minimum_time objective
-(optional terminal quadratic cost), unicycle or simple_car (rear-drive)
-model, point/circular footprint, point/circle obstacle slots only
-(static or dynamic — constant-velocity prediction at the solve's initial
-dt, hoisted per-cycle exactly like al_sqp._stage_obstacles), no via
-points, no terminal ball. Everything else falls back to the XLA path.
-Parity anchor: this is the BASELINE config #3 / #4 flagship serving
-workload (benchmarks.config3_carlike_min_time).
+variable dt), forward-difference collocation, minimum_time OR
+quadratic_form objective (incl. integral form, left-sum/trapezoidal
+integration, hybrid min-time weight, optional terminal quadratic cost,
+optional terminal ball), all four robot models (unicycle, simple_car
+rear/front-wheel drive, kinematic bicycle), point/circular footprint,
+point/circle obstacle slots only (static or dynamic — constant-velocity
+prediction at the solve's initial dt, hoisted per-cycle exactly like
+al_sqp._stage_obstacles), no via points, no per-stage dt. Everything
+else falls back to the XLA path. Parity anchor: BASELINE configs #1-#4
+(benchmarks.config1_unicycle_quadratic .. config3_carlike_min_time).
 """
 
 from __future__ import annotations
@@ -52,7 +54,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mpc_local_planner_tpu.geometry.footprints import CircularFootprint, PointFootprint
-from mpc_local_planner_tpu.systems.models import SimpleCarModel, UnicycleModel
+from mpc_local_planner_tpu.systems.models import (
+    KinematicBicycleModelVelocityInput,
+    SimpleCarFrontWheelDrivingModel,
+    SimpleCarModel,
+    UnicycleModel,
+)
 
 SUBLANES = 2
 LANES = 128
@@ -68,12 +75,16 @@ def fused_supported(spec) -> bool:
     return (
         not spec.nonuniform_dt
         and spec.collocation == "forward_differences"
-        and spec.objective == "minimum_time"
+        and spec.objective in ("minimum_time", "quadratic_form")
         and spec.via_cap == 0
-        and spec.ball_radius <= 0.0
         and spec.nu == 2
-        and isinstance(spec.model, (UnicycleModel, SimpleCarModel))
-        and type(spec.model) in (UnicycleModel, SimpleCarModel)  # not front-wheel subclass
+        and type(spec.model)
+        in (
+            UnicycleModel,
+            SimpleCarModel,
+            SimpleCarFrontWheelDrivingModel,
+            KinematicBicycleModelVelocityInput,
+        )
         and isinstance(spec.footprint, (PointFootprint, CircularFootprint))
     )
 
@@ -134,17 +145,20 @@ def _wrap(th):
 def _fused_kernel(
     # inputs (all (..., 1, S, L) blocks)
     xs_i, us_i, dt_i, xf, u_prev, oc, orr, om, ov,
-    ld_i, lt_i, mo_i, mr_i, mb_i, md_i, rho_i,
+    ld_i, lt_i, mo_i, mr_i, mb_i, md_i, mball_i, rho_i,
     # outputs
-    xs_o, us_o, dt_o, ld_o, lt_o, mo_o, mr_o, mb_o, md_o, rho_o,
+    xs_o, us_o, dt_o, ld_o, lt_o, mo_o, mr_o, mb_o, md_o, mball_o, rho_o,
     cost_o, eq_o, in_o, cv_o,
     # scratch
     P, pv, Ks, kffs, dxs, dus, bxs, bus, scal,
     *,
-    N: int, M: int, model: str, wheelbase: float, dynamic: bool,
+    N: int, M: int, model: str, wheelbase: float, bike_lf: float,
+    bike_lr: float, dynamic: bool,
     lo_u, hi_u, lo_r, hi_r, min_dist: float, foot_r: float,
     xf_fixed, variable_dt: bool, dt_min: float, dt_max: float, dt_ref: float,
-    qf, n_al: int, n_sqp: int, alphas, dt_trust_frac: float,
+    qf, objective: str, q_diag, r_diag, integral_form: bool,
+    trapezoidal: bool, hybrid_w: float, ball_w, ball_r: float,
+    n_al: int, n_sqp: int, alphas, dt_trust_frac: float,
     rho0: float, rho_growth: float, rho_max: float,
     reg0: float, reg_shrink: float, reg_grow: float, reg_min: float, reg_max: float,
     viol_decrease_req: float, tol_eq: float, tol_ineq: float,
@@ -179,6 +193,7 @@ def _fused_kernel(
         lt_o[i, 0] = lt_i[i, 0]
     for i in range(2):
         md_o[i, 0] = md_i[i, 0]
+    mball_o[0, 0] = mball_i[0, 0]
     scal[0] = dt_i[0, 0]
     scal[1] = rho_i[0, 0]
     scal[2] = dt_i[0, 0]
@@ -193,13 +208,14 @@ def _fused_kernel(
     # ---- closed-form model pieces ---------------------------------------- #
     def dyn(x, u):
         """f(x, u) and the Jacobians Jx (3x3, structured), Ju (3x2)."""
-        c, s = jnp.cos(x[2]), jnp.sin(x[2])
         v = u[0]
         if model == "unicycle":
+            c, s = jnp.cos(x[2]), jnp.sin(x[2])
             f = [v * c, v * s, u[1]]
             Jx = [[0.0, 0.0, -v * s], [0.0, 0.0, v * c], [0.0, 0.0, 0.0]]
             Ju = [[c, 0.0], [s, 0.0], [0.0, 1.0]]
-        else:  # simple_car (rear-wheel drive)
+        elif model == "simple_car":  # rear-wheel drive
+            c, s = jnp.cos(x[2]), jnp.sin(x[2])
             t = jnp.tan(u[1])
             f = [v * c, v * s, v * t / wheelbase]
             Jx = [[0.0, 0.0, -v * s], [0.0, 0.0, v * c], [0.0, 0.0, 0.0]]
@@ -207,6 +223,37 @@ def _fused_kernel(
                 [c, 0.0],
                 [s, 0.0],
                 [t / wheelbase, v * (1.0 + t * t) / wheelbase],
+            ]
+        elif model == "front_wheel":
+            # systems/models.py :: SimpleCarFrontWheelDrivingModel —
+            # longitudinal speed scales by cos(phi)
+            c, s = jnp.cos(x[2]), jnp.sin(x[2])
+            cp, sp = jnp.cos(u[1]), jnp.sin(u[1])
+            vl = v * cp
+            f = [vl * c, vl * s, v * sp / wheelbase]
+            Jx = [[0.0, 0.0, -vl * s], [0.0, 0.0, vl * c], [0.0, 0.0, 0.0]]
+            Ju = [
+                [cp * c, -v * sp * c],
+                [cp * s, -v * sp * s],
+                [sp / wheelbase, v * cp / wheelbase],
+            ]
+        else:  # kinematic bicycle (velocity input)
+            # systems/models.py :: KinematicBicycleModelVelocityInput —
+            # beta = atan(lr tan(delta) / (lf + lr));
+            # dbeta/ddelta = a(1+t^2)/(1+(a t)^2) with a = lr/(lf+lr)
+            a = bike_lr / (bike_lf + bike_lr)
+            t = jnp.tan(u[1])
+            at = a * t
+            beta = jnp.arctan(at)
+            dbeta = a * (1.0 + t * t) / (1.0 + at * at)
+            cb, sb = jnp.cos(x[2] + beta), jnp.sin(x[2] + beta)
+            sbe, cbe = jnp.sin(beta), jnp.cos(beta)
+            f = [v * cb, v * sb, v * sbe / bike_lr]
+            Jx = [[0.0, 0.0, -v * sb], [0.0, 0.0, v * cb], [0.0, 0.0, 0.0]]
+            Ju = [
+                [cb, -v * sb * dbeta],
+                [sb, v * cb * dbeta],
+                [sbe / bike_lr, v * cbe * dbeta / bike_lr],
             ]
         return f, Jx, Ju
 
@@ -333,6 +380,44 @@ def _fused_kernel(
             return [zero - _BIG, zero - _BIG]
         return [dtv - dt_max, dt_min - dtv]
 
+    def goal_dx(x):
+        """x ⊖ xf (SE(2) boxminus: θ wrapped)."""
+        return [x[0] - xf[0, 0], x[1] - xf[1, 0], _wrap(x[2] - xf[2, 0])]
+
+    def quad_terms(dx, u):
+        """(Σ q_i dx_i², Σ r_j u_j²) with zero-weight folding."""
+        x_term = _dotl([q_diag[i] for i in range(3)], [d * d for d in dx])
+        u_term = _dotl([r_diag[j] for j in range(2)], [v * v for v in u])
+        return x_term, u_term
+
+    def stage_iw(k):
+        """Integration-rule stage weight (trapezoidal regrouping: ½ at k=0)."""
+        return jnp.where(k == 0, 0.5, 1.0) if trapezoidal else 1.0
+
+    def stage_cost(xk, uk, dtv, k):
+        """Stage-k objective term (al_sqp._make_stage_fns :: objective)."""
+        if objective == "minimum_time":
+            return dtv
+        x_term, u_term = quad_terms(goal_dx(xk), uk)
+        if integral_form:
+            c = _mul(_add(_mul(stage_iw(k), x_term), u_term), dtv)
+        else:
+            c = _add(x_term, u_term)
+        if hybrid_w > 0.0:
+            c = _add(c, _mul(hybrid_w, dtv))
+        return c
+
+    def ball_g(xN):
+        """Terminal-ball inequality ‖x_N ⊖ xf‖²_S − r² and its position
+        gradient rows (constraints.terminal_ball_inequality)."""
+        dxb = goal_dx(xN)
+        g = _add(
+            _dotl([ball_w[i] for i in range(3)], [d * d for d in dxb]),
+            -ball_r * ball_r,
+        )
+        gp = [_mul(2.0 * ball_w[i], dxb[i]) for i in range(3)]
+        return g, gp
+
     # ---- full-trajectory AL merit of a line-search candidate -------------- #
     def merit_candidate(alpha, rho):
         """_al_merit at (xs + a dxs [wrapped], us + a dus, clip(dt + a dtau)).
@@ -370,15 +455,25 @@ def _fused_kernel(
             m = m + psi_sum(gs, [mo_o[k, j, 0] for j in range(M)], rho)
             m = m + psi_sum(rate_g(uk, up, dtv), [mr_o[k, i, 0] for i in range(4)], rho)
             m = m + psi_sum(box_g(uk), [mb_o[k, i, 0] for i in range(4)], rho)
+            if objective != "minimum_time":
+                m = m + stage_cost(xk, uk, dtv, k)
             return m
 
         m = jax.lax.fori_loop(0, N, body, zero)
-        m = m + float(N) * dtv                      # minimum_time cost
+        if objective == "minimum_time":
+            m = m + float(N) * dtv                  # minimum_time cost
         xN = cand_x(N)
         te = term_eq(xN)
         m = m + phi_sum(te, [lt_o[i, 0] for i in range(3)], rho)
         if variable_dt:
             m = m + psi_sum(dt_g(dtv), [md_o[i, 0] for i in range(2)], rho)
+        if objective == "quadratic_form" and integral_form and trapezoidal:
+            # the ½·dt·lx(x_N) tail of the trapezoidal regrouping
+            x_term, _ = quad_terms(goal_dx(xN), [0.0, 0.0])
+            m = m + _mul(_mul(0.5, x_term), dtv)
+        if ball_r > 0.0:
+            gb, _ = ball_g(xN)
+            m = m + psi_sum([gb], [mball_o[0, 0]], rho)
         if qf is not None:
             dxq = [_wrap(xN[i] - xf[i, 0]) for i in range(3)]
             m = m + sum(qf[i] * dxq[i] * dxq[i] for i in range(3))
@@ -420,6 +515,32 @@ def _fused_kernel(
             Pm[0][1] = _add(Pm[0][1], aw * gx[j] * gy[j])
             Pm[1][1] = _add(Pm[1][1], aw * gy[j] * gy[j])
         Pm[1][0] = Pm[0][1]
+        if objective == "quadratic_form" and integral_form and trapezoidal:
+            # ½·dt·lx(x_N) tail: exact gradient/Hessian incl. the dtau cross
+            # terms (terminal w carries dt in al_sqp._make_terminal_fns)
+            dxq = goal_dx(xN)
+            dtv0 = scal[0]
+            x_term, _ = quad_terms(dxq, [0.0, 0.0])
+            pm[5] = _add(pm[5], _mul(0.5, x_term))
+            for i in range(3):
+                if q_diag[i] != 0.0:
+                    pm[i] = _add(pm[i], _mul(q_diag[i], dxq[i]) * dtv0)
+                    Pm[i][i] = _add(Pm[i][i], q_diag[i] * dtv0)
+                    Pm[i][5] = _add(Pm[i][5], _mul(q_diag[i], dxq[i]))
+                    Pm[5][i] = Pm[i][5]
+        if ball_r > 0.0:
+            # exact PSD Hessian of the PHR ball penalty: ρs²·g'g'ᵀ (s = tie
+            # subgradient, see hinge_w) + a·∇²g with ∇²g = 2 diag(ball_w)
+            gb, gp = ball_g(xN)
+            mu_b = mball_o[0, 0]
+            tb = mu_b + rho * gb
+            ab = jnp.maximum(0.0, tb)
+            hwb = hinge_w(tb, rho)
+            for i in range(3):
+                pm[i] = _add(pm[i], _mul(ab, gp[i]))
+                Pm[i][i] = _add(Pm[i][i], _mul(2.0 * ball_w[i], ab))
+                for j in range(3):
+                    Pm[i][j] = _add(Pm[i][j], _mul(_mul(hwb, gp[i]), gp[j]))
         if variable_dt:
             dtv = scal[0]
             g1, g2 = dtv - dt_max, dt_min - dtv
@@ -451,8 +572,42 @@ def _fused_kernel(
         Hzu = [[0.0] * nu for _ in range(na)]
         Huu = [[0.0] * nu for _ in range(nu)]
 
-        # objective: min-time stage cost = dt -> d/dtau = 1
-        hz[5] = _add(hz[5], one)
+        # objective stage terms
+        if objective == "minimum_time":
+            # min-time stage cost = dt -> d/dtau = 1
+            hz[5] = _add(hz[5], one)
+        else:
+            # quadratic form: exact gradient + exact (PSD diagonal) Hessian,
+            # incl. the x/u-dtau cross rows of the integral form
+            dxq = goal_dx(xk)
+            if integral_form:
+                iw = stage_iw(k)
+                x_term, u_term = quad_terms(dxq, uk)
+                hz[5] = _add(hz[5], _add(_mul(iw, x_term), u_term))
+                for i in range(3):
+                    if q_diag[i] != 0.0:
+                        qi = _mul(2.0 * q_diag[i], _mul(iw, dxq[i]))
+                        hz[i] = _add(hz[i], qi * dtv)
+                        Hzz[i][i] = _add(Hzz[i][i], _mul(2.0 * q_diag[i], iw) * dtv)
+                        Hzz[i][5] = _add(Hzz[i][5], qi)
+                        Hzz[5][i] = Hzz[i][5]
+                for j in range(2):
+                    if r_diag[j] != 0.0:
+                        rj = 2.0 * r_diag[j] * uk[j]
+                        hu[j] = _add(hu[j], rj * dtv)
+                        Huu[j][j] = _add(Huu[j][j], 2.0 * r_diag[j] * dtv)
+                        Hzu[5][j] = _add(Hzu[5][j], rj)
+            else:
+                for i in range(3):
+                    if q_diag[i] != 0.0:
+                        hz[i] = _add(hz[i], _mul(2.0 * q_diag[i], dxq[i]))
+                        Hzz[i][i] = _add(Hzz[i][i], 2.0 * q_diag[i])
+                for j in range(2):
+                    if r_diag[j] != 0.0:
+                        hu[j] = _add(hu[j], 2.0 * r_diag[j] * uk[j])
+                        Huu[j][j] = _add(Huu[j][j], 2.0 * r_diag[j])
+            if hybrid_w > 0.0:
+                hz[5] = _add(hz[5], hybrid_w)
 
         # obstacles at x_k (row k-1; inactive when k == 0)
         on = (k > 0).astype(f32)
@@ -804,6 +959,14 @@ def _fused_kernel(
                 eq_m = jnp.maximum(eq_m, jnp.abs(te[i]))
             else:
                 lt_o[i, 0] = zero
+        if ball_r > 0.0:
+            gb, _ = ball_g(read_x(N))
+            mball_o[0, 0] = jnp.maximum(0.0, mball_o[0, 0] + rho * gb)
+            in_m = jnp.maximum(in_m, gb)
+        else:
+            # disabled ball: the XLA path still updates against the inactive
+            # −BIG row, which clamps any (pathological) nonzero input to 0
+            mball_o[0, 0] = jnp.maximum(0.0, mball_o[0, 0] - rho * _BIG)
         g_d = dt_g(dtv)
         for i in range(2):
             if variable_dt:
@@ -862,7 +1025,19 @@ def _fused_kernel(
     eq_o[0, 0] = jnp.where(ub, scal[3], eq_f)
     in_o[0, 0] = jnp.where(ub, scal[4], in_f)
     cv_o[0, 0] = jnp.logical_or(final_ok, scal[5] > 0.5).astype(f32)
-    cost = float(N) * dt_fin
+    if objective == "minimum_time":
+        cost = float(N) * dt_fin
+    else:
+        # full quadratic objective at the SELECTED primal (al_sqp evaluates
+        # funcs.cost after the best-feasible selection)
+        def cost_body(k, acc):
+            c = stage_cost(read_x(k), read_u(k), dt_fin, k)
+            return acc + (c if not _isc(c) else zero + c)
+
+        cost = jax.lax.fori_loop(0, N, cost_body, zero)
+        if integral_form and trapezoidal:
+            x_term, _ = quad_terms(goal_dx(read_x(N)), [0.0, 0.0])
+            cost = cost + _mul(_mul(0.5, x_term), dt_fin)
     if qf is not None:
         xN = read_x(N)
         dxq = [_wrap(xN[i] - xf[i, 0]) for i in range(3)]
@@ -946,6 +1121,18 @@ def fused_solve(
         raise ValueError(
             f"fused kernel: {oc.shape[-2]} point+circle slots != obstacle_cap {M}"
         )
+    mu_obs_in = duals.mu_obs
+    if M == 0:
+        # obstacle-free spec: the kernel still wants non-zero-size tiles, so
+        # run it with ONE masked dummy slot (g = min_dist − BIG never
+        # activates — exact no-op, matching the XLA path's absent term) and
+        # slice the multiplier rows back to width 0 on the way out.
+        M = 1
+        oc = jnp.zeros((B, 1, 2), f32)
+        orr = jnp.zeros((B, 1), f32)
+        om = jnp.zeros((B, 1), bool)
+        ovl = jnp.zeros((B, 1, 2), f32)
+        mu_obs_in = jnp.zeros((B, N, 1), f32)
     dt0 = jnp.broadcast_to(jnp.asarray(init.dt, f32), (B,))
 
     tiled = [
@@ -953,8 +1140,8 @@ def fused_solve(
         for a in (
             init.xs, init.us, dt0[:, None], scenario.xf, scenario.u_prev,
             oc, orr[..., None] * 1.0, om.astype(f32)[..., None] * 1.0, ovl,
-            duals.lam_def, duals.lam_term, duals.mu_obs, duals.mu_rate,
-            duals.mu_box, duals.mu_dt, duals.rho[:, None],
+            duals.lam_def, duals.lam_term, mu_obs_in, duals.mu_rate,
+            duals.mu_box, duals.mu_dt, duals.mu_ball, duals.rho[:, None],
         )
     ]
     # squeeze the dummy [:, None] dims back: dt (1,), orr (M,1)->(M,), om …
@@ -972,13 +1159,20 @@ def fused_solve(
         lo_r = tuple(float(v) for v in lo_r)
         hi_r = tuple(float(v) for v in hi_r)
     qf = tuple(float(q) for q in spec.qf_diag) if spec.qf_diag is not None else None
-    model = "unicycle" if isinstance(spec.model, UnicycleModel) else "simple_car"
+    model = {
+        UnicycleModel: "unicycle",
+        SimpleCarModel: "simple_car",
+        SimpleCarFrontWheelDrivingModel: "front_wheel",
+        KinematicBicycleModelVelocityInput: "bicycle",
+    }[type(spec.model)]
     foot_r = float(getattr(spec.footprint, "radius", 0.0))
 
     kernel = functools.partial(
         _fused_kernel,
         N=N, M=M, model=model,
         wheelbase=float(getattr(spec.model, "wheelbase", 1.0)),
+        bike_lf=float(getattr(spec.model, "lf", 0.25)),
+        bike_lr=float(getattr(spec.model, "lr", 0.25)),
         dynamic=bool(spec.enable_dynamic_obstacles),
         lo_u=lo_u, hi_u=hi_u, lo_r=lo_r, hi_r=hi_r,
         min_dist=float(spec.min_obstacle_dist), foot_r=foot_r,
@@ -986,6 +1180,14 @@ def fused_solve(
         variable_dt=bool(spec.variable_dt),
         dt_min=float(spec.dt_min), dt_max=float(spec.dt_max),
         dt_ref=float(spec.dt_ref), qf=qf,
+        objective=spec.objective,
+        q_diag=tuple(float(q) for q in spec.q_diag),
+        r_diag=tuple(float(r) for r in spec.r_diag),
+        integral_form=bool(spec.integral_form),
+        trapezoidal=spec.cost_integration == "trapezoidal",
+        hybrid_w=float(spec.hybrid_time_weight),
+        ball_w=tuple(float(w) for w in spec.ball_weights),
+        ball_r=float(spec.ball_radius),
         n_al=settings.n_al, n_sqp=settings.n_sqp,
         alphas=tuple(float(a) for a in settings.alphas),
         dt_trust_frac=float(settings.dt_trust_frac),
@@ -1013,7 +1215,8 @@ def fused_solve(
     out_shapes = [
         oshape(N + 1, 3), oshape(N, 2), oshape(1),          # xs, us, dt
         oshape(N, 3), oshape(3), oshape(N, M),               # lam_def, lam_term, mu_obs
-        oshape(N, 4), oshape(N, 4), oshape(2), oshape(1),    # mu_rate, mu_box, mu_dt, rho
+        oshape(N, 4), oshape(N, 4), oshape(2),               # mu_rate, mu_box, mu_dt
+        oshape(1), oshape(1),                                # mu_ball, rho
         oshape(1), oshape(1), oshape(1), oshape(1),          # cost, eq, ineq, conv
     ]
     outs = pl.pallas_call(
@@ -1036,7 +1239,7 @@ def fused_solve(
         interpret=interpret,
     )(*tiled)
 
-    xs, us, dt, ld, lt, mo, mr, mb, md, rho, cost, eq, ineq, conv = outs
+    xs, us, dt, ld, lt, mo, mr, mb, md, mball, rho, cost, eq, ineq, conv = outs
     ft = lambda a: _from_tiles(a, B)  # noqa: E731
     dtype = init.xs.dtype
     return SolveResult(
@@ -1046,9 +1249,10 @@ def fused_solve(
         ),
         duals=DualState(
             lam_def=ft(ld).astype(dtype), lam_term=ft(lt).astype(dtype),
-            mu_obs=ft(mo).astype(dtype), mu_rate=ft(mr).astype(dtype),
+            mu_obs=ft(mo)[..., : spec.obstacle_cap].astype(dtype),
+            mu_rate=ft(mr).astype(dtype),
             mu_box=ft(mb).astype(dtype), mu_dt=ft(md).astype(dtype),
-            mu_ball=duals.mu_ball, rho=ft(rho)[..., 0].astype(dtype),
+            mu_ball=ft(mball).astype(dtype), rho=ft(rho)[..., 0].astype(dtype),
         ),
         cost=ft(cost)[..., 0].astype(dtype),
         eq_norm=ft(eq)[..., 0].astype(dtype),

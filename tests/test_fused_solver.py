@@ -60,10 +60,11 @@ def test_out_of_scope_specs_rejected():
     )
     assert not fused_supported(dataclasses.replace(spec, nonuniform_dt=True))
     assert not fused_supported(
-        dataclasses.replace(spec, objective="quadratic_form")
+        dataclasses.replace(spec, objective="minimum_time_via_points", via_cap=4)
     )
-    assert not fused_supported(dataclasses.replace(spec, ball_radius=0.5))
-    # dynamic obstacles ARE in scope
+    # quadratic form, terminal ball, and dynamic obstacles ARE in scope
+    assert fused_supported(dataclasses.replace(spec, objective="quadratic_form"))
+    assert fused_supported(dataclasses.replace(spec, ball_radius=0.5))
     assert fused_supported(
         dataclasses.replace(spec, enable_dynamic_obstacles=True)
     )
@@ -207,3 +208,108 @@ def test_warm_cycle_through_fused_matches_policy():
     out2 = fused_solve(spec, WARM, scen2, initn, dn, interpret=True)
     assert np.all(np.isfinite(np.asarray(out2.primal.xs)))
     assert np.asarray(out2.eq_norm).shape == (4,)
+
+
+# --------------------------------------------------------------------------- #
+# round-2 scope widening: quadratic-form objective, terminal ball, all models
+# --------------------------------------------------------------------------- #
+def _assert_solve_match(spec, scen, init, duals, atol=5e-5):
+    ref = jax.jit(
+        jax.vmap(lambda s, i, d: solve_single(spec, WARM, s, i, d))
+    )(scen, init, duals)
+    out = fused_solve(spec, WARM, scen, init, duals, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out.primal.xs), np.asarray(ref.primal.xs), atol=atol
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.primal.us), np.asarray(ref.primal.us), atol=atol
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.primal.dt), np.asarray(ref.primal.dt), atol=atol / 5
+    )
+    for name in ("lam_def", "lam_term", "mu_obs", "mu_rate", "mu_box",
+                 "mu_dt", "mu_ball", "rho"):
+        a = np.asarray(getattr(out.duals, name))
+        b = np.asarray(getattr(ref.duals, name))
+        np.testing.assert_allclose(a, b, atol=5e-3, rtol=1e-3, err_msg=name)
+    assert np.array_equal(np.asarray(out.converged), np.asarray(ref.converged))
+    np.testing.assert_allclose(
+        np.asarray(out.cost), np.asarray(ref.cost), atol=1e-4, rtol=1e-5
+    )
+    return out, ref
+
+
+def _setup_for(spec, batch=12, key=3):
+    scen = random_ensemble(spec, batch, jax.random.PRNGKey(key))
+    init = initial_primal(spec, scen)
+    duals = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (batch,) + a.shape),
+        init_duals(spec, WARM, dtype=jnp.float32),
+    )
+    return scen, init, duals
+
+
+def test_fused_quadratic_form_with_ball_matches_xla():
+    """BASELINE config #2 family: quadratic form + terminal quadratic cost +
+    terminal ball + circular footprint obstacles (fixed dt)."""
+    from mpc_local_planner_tpu.benchmarks import config2_diffdrive_obstacles
+
+    spec = config2_diffdrive_obstacles(N=8, obstacle_cap=4)
+    assert fused_supported(spec)
+    scen, init, duals = _setup_for(spec)
+    out, _ = _assert_solve_match(spec, scen, init, duals)
+    # the ball multiplier must actually engage somewhere in the ensemble
+    assert np.asarray(out.duals.mu_ball).max() > 0.0
+
+
+def test_fused_quadratic_integral_trapezoidal_hybrid_variable_dt():
+    """Integral-form trapezoidal quadratic cost + hybrid min-time weight on a
+    variable-dt grid: exercises every dtau coupling row of the closed-form
+    stage/terminal derivatives."""
+    from mpc_local_planner_tpu.benchmarks import config2_diffdrive_obstacles
+
+    spec = dataclasses.replace(
+        config2_diffdrive_obstacles(N=8, obstacle_cap=4),
+        integral_form=True,
+        cost_integration="trapezoidal",
+        hybrid_time_weight=0.5,
+        variable_dt=True,
+        dt_min=1e-3,
+        dt_max=0.5,
+    )
+    assert fused_supported(spec)
+    scen, init, duals = _setup_for(spec, key=9)
+    _assert_solve_match(spec, scen, init, duals)
+
+
+def test_fused_quadratic_integral_left_sum():
+    from mpc_local_planner_tpu.benchmarks import config1_unicycle_quadratic
+
+    spec = dataclasses.replace(
+        config1_unicycle_quadratic(N=8), integral_form=True, obstacle_cap=0
+    )
+    assert fused_supported(spec)
+    scen, init, duals = _setup_for(spec, key=11)
+    _assert_solve_match(spec, scen, init, duals)
+
+
+@pytest.mark.parametrize("model_name", ["front_wheel", "bicycle"])
+def test_fused_models_match_xla(model_name):
+    """Front-wheel-drive car and kinematic bicycle closed-form Jacobians vs
+    the AD defect linearization, end to end through the min-time solve."""
+    from mpc_local_planner_tpu.systems.models import (
+        KinematicBicycleModelVelocityInput,
+        SimpleCarFrontWheelDrivingModel,
+    )
+
+    model = (
+        SimpleCarFrontWheelDrivingModel(wheelbase=0.5)
+        if model_name == "front_wheel"
+        else KinematicBicycleModelVelocityInput(lf=0.3, lr=0.2)
+    )
+    spec = dataclasses.replace(
+        config3_carlike_min_time(N=8, obstacle_cap=4), model=model
+    )
+    assert fused_supported(spec)
+    scen, init, duals = _setup_for(spec, key=13)
+    _assert_solve_match(spec, scen, init, duals)

@@ -91,12 +91,60 @@ def test_all_example_configs_load_and_transcribe():
         "diff_drive_quadratic_form",
         "carlike_minimum_time",
         "carlike_quadratic_form",
+        "carlike_kinematic_bicycle_minimum_time",
     } <= names
     for p in paths:
         cfg = load_config(p.read_text())
         spec = cfg.to_ocp_spec()
         assert spec.N == cfg.grid.grid_size_ref
         cfg.solver_settings(spec)
+
+
+def test_kinematic_bicycle_canonical_config():
+    """The kinematic-bicycle canonical config (parity: the reference
+    examples' bicycle variant, SURVEY.md §3.1 examples row) transcribes to
+    the slip-angle model and drives a simulated robot toward its goal."""
+    import dataclasses as dc
+    import pathlib
+
+    from mpc_local_planner_tpu.geometry.obstacles import ObstacleSet
+    from mpc_local_planner_tpu.ocp.spec import Scenario
+    from mpc_local_planner_tpu.systems.models import (
+        KinematicBicycleModelVelocityInput,
+    )
+
+    cfg_path = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "examples" / "cfg" / "carlike_kinematic_bicycle_minimum_time.yaml"
+    )
+    cfg = load_config(cfg_path.read_text())
+    spec = cfg.to_ocp_spec()
+    assert isinstance(spec.model, KinematicBicycleModelVelocityInput)
+    assert spec.model.lf == spec.model.lr == 0.25  # wheelbase/2 split
+    assert spec.objective == "minimum_time"
+
+    # closed-loop smoke at a reduced horizon (the canonical N=50 is a
+    # bench-scale shape; the smoke only needs goal progress)
+    from mpc_local_planner_tpu.planner.config import reconfigure_config
+
+    cfg = reconfigure_config(
+        cfg,
+        {"grid": {"grid_size_ref": 15}, "collision": {"obstacle_capacity": 0}},
+    )
+    ctrl = Controller(cfg, dtype=jnp.float32)
+    spec = ctrl.spec
+    x = jnp.array([0.0, 0.0, 0.0], dtype=jnp.float32)
+    goal = jnp.array([1.5, 0.3, 0.0], dtype=jnp.float32)
+    d0 = float(jnp.linalg.norm(x[:2] - goal[:2]))
+    for _cycle in range(40):
+        scen = Scenario.goal_only(x, goal, nu=spec.nu, via_cap=0, dtype=jnp.float32)
+        scen = dc.replace(scen, obstacles=ObstacleSet.empty(0, 0, 0, 0, dtype=jnp.float32))
+        res = ctrl.step(scen)
+        x = x + spec.dt_ref * spec.model.f(x, res.u0)
+        if ctrl.is_goal_reached(x, goal):
+            break
+    d1 = float(jnp.linalg.norm(x[:2] - goal[:2]))
+    assert d1 < 0.5 * d0, f"bicycle made no goal progress: {d0:.3f} -> {d1:.3f}"
 
 
 def test_unknown_config_key_rejected():

@@ -114,3 +114,94 @@ def random_ensemble(
         via_mask=jnp.zeros((batch, spec.via_cap), bool),
         u_prev=jnp.zeros((batch, spec.nu), dtype),
     )
+
+
+def classify_feasibility(
+    spec,
+    scenario,
+    max_instances: int = 64,
+    tol: float = 1e-5,
+    maxiter: int = 600,
+):
+    """Ensemble feasibility oracle: classify instances with the float64
+    golden solver at a generous budget (SURVEY.md §6 failure-detection row —
+    the batched analog of IPOPT's per-solve ``optimal_solution_found``).
+
+    For each of the first ``max_instances`` scenarios: (1) a generous
+    float64 AL-SQP cold solve finds a candidate point, (2) the scipy-SLSQP
+    golden solver (solvers/golden.py — the independent correctness anchor)
+    polishes from it (SLSQP cannot navigate from the infeasible straight-
+    line init on obstacle problems — same protocol as the golden tests),
+    (3) the instance is classified by the max equality/inequality violation
+    at the better of the two points:
+
+      "feasible"  — a point within ``tol`` was certified
+      "unknown"   — none found; the instance is infeasible OR merely beyond
+                    both budgets (SLSQP cannot certify infeasibility)
+
+    Host-only and slow (one SLSQP run per instance); used offline to
+    calibrate the cheap cold-budget oracle reported by bench.py
+    (``feasible_frac_cold_oracle``), not on the TPU path. Returns
+    (labels list, details dict).
+    """
+    import numpy as np
+
+    from mpc_local_planner_tpu.ocp.grid import initial_primal
+    from mpc_local_planner_tpu.ocp.problem import make_ocp_functions
+    from mpc_local_planner_tpu.solvers.al_sqp import (
+        SolverSettings,
+        init_duals,
+        solve_single,
+    )
+    from mpc_local_planner_tpu.solvers.golden import solve_golden
+
+    funcs = make_ocp_functions(spec)
+    B = int(scenario.x0.shape[0])
+    n = min(B, max_instances)
+    take = jax.tree_util.tree_map
+    scen64 = take(
+        lambda a: jnp.asarray(a[:n], jnp.float64)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+        else a[:n],
+        scenario,
+    )
+    cold = SolverSettings.for_spec(spec)
+    init = initial_primal(spec, scen64)
+    duals = take(
+        lambda a: jnp.broadcast_to(a, (n,) + a.shape),
+        init_duals(spec, cold, dtype=jnp.float64),
+    )
+    r = jax.jit(jax.vmap(lambda s, i, d: solve_single(spec, cold, s, i, d)))(
+        scen64, init, duals
+    )
+
+    def viol_at(primal, scen_b):
+        eq = float(jnp.max(jnp.abs(funcs.eq(primal, scen_b))))
+        ineq = float(jnp.max(funcs.ineq(primal, scen_b)))
+        return max(eq, max(ineq, 0.0))
+
+    labels = []
+    viols = []
+    for b in range(n):
+        scen_b = take(lambda a: a[b], scen64)
+        primal_b = take(lambda a: a[b], r.primal)
+        viol = viol_at(primal_b, scen_b)
+        if viol > tol:
+            # polish with the independent golden solver from the AL iterate
+            try:
+                sol_g, _res = solve_golden(
+                    spec, scen_b, init=primal_b, tol=1e-10, maxiter=maxiter
+                )
+                viol = min(viol, viol_at(sol_g, scen_b))
+            except Exception:  # noqa: BLE001 — SLSQP failures count as unknown
+                pass
+        viols.append(viol)
+        labels.append("feasible" if viol <= tol else "unknown")
+    feas = labels.count("feasible")
+    return labels, {
+        "n": n,
+        "feasible_frac": feas / max(n, 1),
+        "max_viol_on_feasible": float(
+            np.max([v for v, l in zip(viols, labels) if l == "feasible"], initial=0.0)
+        ),
+    }

@@ -114,8 +114,12 @@ class LineFootprint:
     def distances(self, pose, obs: ObstacleSet):
         R = rot2d(pose[..., 2])
         p = pose[..., :2]
-        a = p + jnp.einsum("...ij,j->...i", R, jnp.asarray(self.line_start))
-        b = p + jnp.einsum("...ij,j->...i", R, jnp.asarray(self.line_end))
+        # cast to the pose dtype: body-frame endpoints may be python tuples
+        # (hashable static specs) and must not promote an f32 solve to f64
+        ls = jnp.asarray(self.line_start, dtype=pose.dtype)
+        le = jnp.asarray(self.line_end, dtype=pose.dtype)
+        a = p + jnp.einsum("...ij,j->...i", R, ls)
+        b = p + jnp.einsum("...ij,j->...i", R, le)
         return _segment_distances(a, b, obs)
 
     @property
@@ -157,7 +161,7 @@ class PolygonFootprint:
     def distances(self, pose, obs: ObstacleSet):
         R = rot2d(pose[..., 2])
         verts = pose[..., None, :2] + jnp.einsum(
-            "...ij,vj->...vi", R, jnp.asarray(self.vertices)
+            "...ij,vj->...vi", R, jnp.asarray(self.vertices, dtype=pose.dtype)
         )
         nv = jnp.asarray(verts.shape[-2], dtype=jnp.int32)
         nv_b = jnp.broadcast_to(nv, verts.shape[:-2])

@@ -35,12 +35,20 @@ variable dt), forward-difference collocation, minimum_time OR
 quadratic_form objective (incl. integral form, left-sum/trapezoidal
 integration, hybrid min-time weight, optional terminal quadratic cost,
 optional terminal ball), all four robot models (unicycle, simple_car
-rear/front-wheel drive, kinematic bicycle), point/circular footprint,
-point/circle obstacle slots only (static or dynamic — constant-velocity
-prediction at the solve's initial dt, hoisted per-cycle exactly like
-al_sqp._stage_obstacles), no via points, no per-stage dt. Everything
-else falls back to the XLA path. Parity anchor: BASELINE configs #1-#4
-(benchmarks.config1_unicycle_quadratic .. config3_carlike_min_time).
+rear/front-wheel drive, kinematic bicycle), point/circular/two_circles/
+line footprints, point/circle/line/polygon obstacle slots (static or
+dynamic — constant-velocity prediction at the solve's initial dt,
+hoisted per-cycle exactly like al_sqp._stage_obstacles), no via points,
+no per-stage dt. Everything else (polygon footprint, via points,
+midpoint/CN collocation, non-uniform dt) falls back to the XLA path.
+Parity anchor: BASELINE configs #1-#4 plus the canonical carlike
+two_circles config (examples/cfg/carlike_minimum_time.yaml).
+
+The obstacle geometry hand-transcribes the AD chain of
+geometry/{distances,footprints}.py including JAX's subgradient
+conventions: jnp.minimum/clip ties give 0.5 weights, jnp.min reductions
+split equally among ties, and where()-selected constant branches
+(segment intersection, inside-polygon zeroing) carry zero gradient.
 """
 
 from __future__ import annotations
@@ -53,7 +61,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mpc_local_planner_tpu.geometry.footprints import CircularFootprint, PointFootprint
+from mpc_local_planner_tpu.geometry.footprints import (
+    CircularFootprint,
+    LineFootprint,
+    PointFootprint,
+    TwoCirclesFootprint,
+)
 from mpc_local_planner_tpu.systems.models import (
     KinematicBicycleModelVelocityInput,
     SimpleCarFrontWheelDrivingModel,
@@ -61,7 +74,14 @@ from mpc_local_planner_tpu.systems.models import (
     UnicycleModel,
 )
 
-SUBLANES = 2
+import os as _os
+
+# Batch-tile geometry: each kernel program solves SUBLANES*LANES scenarios,
+# every per-scenario scalar an (SUBLANES, 128) vreg tile. SUBLANES=2 was the
+# round-2 shipping point; the env knob exists for the occupancy sweep
+# (BENCH_NOTES round 3) — native vregs are (8, 128), so SUBLANES<8 leaves
+# sublane occupancy on the table IF the kernel is vreg-throughput-bound.
+SUBLANES = int(_os.environ.get("MPC_FUSED_SUBLANES", "2"))
 LANES = 128
 BT = SUBLANES * LANES
 _BIG = 1.0e6          # geometry.obstacles.BIG_DISTANCE
@@ -85,8 +105,39 @@ def fused_supported(spec) -> bool:
             SimpleCarFrontWheelDrivingModel,
             KinematicBicycleModelVelocityInput,
         )
-        and isinstance(spec.footprint, (PointFootprint, CircularFootprint))
+        and isinstance(
+            spec.footprint,
+            (PointFootprint, CircularFootprint, TwoCirclesFootprint, LineFootprint),
+        )
     )
+
+
+def _footprint_static(footprint):
+    """Static kernel descriptor of a footprint model.
+
+    Circle-family footprints (point/circular/two_circles) become a tuple of
+    (body-x offset, radius) discs; the line footprint becomes its body-frame
+    segment endpoints. Mirrors geometry/footprints.py's distance semantics.
+    """
+    import numpy as np
+
+    if isinstance(footprint, PointFootprint):
+        return ((0.0, 0.0),), None
+    if isinstance(footprint, CircularFootprint):
+        return ((0.0, float(footprint.radius)),), None
+    if isinstance(footprint, TwoCirclesFootprint):
+        return (
+            (float(footprint.front_offset), float(footprint.front_radius)),
+            (float(footprint.rear_offset), float(footprint.rear_radius)),
+        ), None
+    if isinstance(footprint, LineFootprint):
+        ls = np.asarray(footprint.line_start, dtype=np.float64)
+        le = np.asarray(footprint.line_end, dtype=np.float64)
+        return None, (
+            (float(ls[0]), float(ls[1])),
+            (float(le[0]), float(le[1])),
+        )
+    raise ValueError(f"footprint not kernel-supported: {footprint!r}")
 
 
 # --------------------------------------------------------------------------- #
@@ -143,18 +194,12 @@ def _wrap(th):
 # the kernel
 # --------------------------------------------------------------------------- #
 def _fused_kernel(
-    # inputs (all (..., 1, S, L) blocks)
-    xs_i, us_i, dt_i, xf, u_prev, oc, orr, om, ov,
-    ld_i, lt_i, mo_i, mr_i, mb_i, md_i, mball_i, rho_i,
-    # outputs
-    xs_o, us_o, dt_o, ld_o, lt_o, mo_o, mr_o, mb_o, md_o, mball_o, rho_o,
-    cost_o, eq_o, in_o, cv_o,
-    # scratch
-    P, pv, Ks, kffs, dxs, dus, bxs, bus, scal,
-    *,
-    N: int, M: int, model: str, wheelbase: float, bike_lf: float,
+    *refs,
+    N: int, M: int, mpc: int, ml: int, mg: int, V: int,
+    model: str, wheelbase: float, bike_lf: float,
     bike_lr: float, dynamic: bool,
-    lo_u, hi_u, lo_r, hi_r, min_dist: float, foot_r: float,
+    fp_circles, fp_seg,
+    lo_u, hi_u, lo_r, hi_r, min_dist: float,
     xf_fixed, variable_dt: bool, dt_min: float, dt_max: float, dt_ref: float,
     qf, objective: str, q_diag, r_diag, integral_form: bool,
     trapezoidal: bool, hybrid_w: float, ball_w, ball_r: float,
@@ -166,6 +211,13 @@ def _fused_kernel(
 ):
     """One whole warm solve per (S*L)-scenario batch group.
 
+    ``refs`` is the pallas_call positional layout: the 5 base inputs, the
+    obstacle-family inputs present for this spec (point+circle slots ``mpc``:
+    centers/radii/mask/vels; line slots ``ml``: endpoints/mask/vels; polygon
+    slots ``mg``: padded verts (V per slot)/nv/mask/vels — mu-row order is
+    [pc, lines, polygons], matching footprints.distances' concat), the 8
+    warm-dual inputs, the 15 outputs, then the 9 scratch buffers.
+
     scal layout (per-lane scalar registers, shape (SC, S, L)):
       0 dt, 1 rho, 2 best_dt, 3 best_eq, 4 best_in, 5 best_found,
       6 viol_prev, 7 dtau, 8 eq_last, 9 in_last
@@ -173,6 +225,23 @@ def _fused_kernel(
     f32 = jnp.float32
     zero = jnp.zeros((SUBLANES, LANES), f32)
     one = zero + 1.0
+
+    # ---- unpack the positional ref layout --------------------------------- #
+    it = iter(refs)
+    xs_i, us_i, dt_i, xf, u_prev = (next(it) for _ in range(5))
+    oc = orr = om = ov = None
+    ln = lm = lvl = None
+    pg = pnv = pgm = pgv = None
+    if mpc:
+        oc, orr, om, ov = (next(it) for _ in range(4))
+    if ml:
+        ln, lm, lvl = (next(it) for _ in range(3))
+    if mg:
+        pg, pnv, pgm, pgv = (next(it) for _ in range(4))
+    (ld_i, lt_i, mo_i, mr_i, mb_i, md_i, mball_i, rho_i,
+     xs_o, us_o, dt_o, ld_o, lt_o, mo_o, mr_o, mb_o, md_o, mball_o, rho_o,
+     cost_o, eq_o, in_o, cv_o,
+     P, pv, Ks, kffs, dxs, dus, bxs, bus, scal) = (next(it) for _ in range(32))
 
     # ---- state init: copy inputs into the output refs (working state) ---- #
     def _cp(t, _):
@@ -292,12 +361,250 @@ def _fused_kernel(
         G = [[_mul(dtv, Ju[i][j]) for j in range(2)] for i in range(3)]
         return c, F, G, f
 
-    def obs_terms(x, i, dt_pred=None):
-        """Per-slot obstacle inequality g_j = min_dist - d_j and the position
-        gradient dg/dp = -(p - c)/safe_norm; masked slots: g = min_dist - BIG.
+    # ------------------------------------------------------------------ #
+    # obstacle geometry: hand-transcribed AD chains of geometry/distances
+    # (tie conventions: jnp.minimum/clip 0.5, jnp.min equal split, where()
+    # constant branches zero-gradient) so the closed forms match jax.grad
+    # of the XLA path's footprint.distances exactly.
+    # ------------------------------------------------------------------ #
+    def sel_lt(a, b):
+        """AD weight of ``a`` in jnp.minimum(a, b) (0.5 tie subgradient)."""
+        return jnp.where(a < b, 1.0, jnp.where(a == b, 0.5, 0.0))
 
-        ``i`` is the POSE index (0..N): with dynamic obstacles the slot
-        centers are extrapolated to t = i * dt_pred. DERIVATIVE assembly
+    def clip_gate(t_raw):
+        """AD gate of jnp.clip(t_raw, 0, 1) (0.5 at exact boundaries)."""
+        g1 = jnp.where(t_raw > 0.0, 1.0, jnp.where(t_raw == 0.0, 0.5, 0.0))
+        y = jnp.maximum(t_raw, 0.0)
+        g2 = jnp.where(y < 1.0, 1.0, jnp.where(y == 1.0, 0.5, 0.0))
+        return g1 * g2
+
+    def fp_points(x):
+        """Footprint-disc centers [(px, py, r, dpx_dθ, dpy_dθ)] at pose x
+        (footprints.py :: Point/Circular/TwoCircles — center = p + off·h(θ))."""
+        out = []
+        for off, r in fp_circles:
+            if off == 0.0:
+                out.append((x[0], x[1], r, 0.0, 0.0))
+            else:
+                c, s = jnp.cos(x[2]), jnp.sin(x[2])
+                out.append((x[0] + off * c, x[1] + off * s, r, -off * s, off * c))
+        return out
+
+    def fp_segment(x):
+        """World footprint segment (A, B, Aθ, Bθ) (footprints.LineFootprint)."""
+        c, s = jnp.cos(x[2]), jnp.sin(x[2])
+        (lsx, lsy), (lex, ley) = fp_seg
+        A = (x[0] + c * lsx - s * lsy, x[1] + s * lsx + c * lsy)
+        B = (x[0] + c * lex - s * ley, x[1] + s * lex + c * ley)
+        Ath = (-s * lsx - c * lsy, c * lsx - s * lsy)
+        Bth = (-s * lex - c * ley, c * lex - s * ley)
+        return A, B, Ath, Bth
+
+    def d_point_point(pc, cx, cy, need_grad):
+        """safe_norm(footprint point − c); pc = (px, py, r, dpx_dθ, dpy_dθ).
+        Returns (dn, pose gradient of dn)."""
+        px, py, _, dpx, dpy = pc
+        ex, ey = px - cx, py - cy
+        dn = jnp.sqrt(ex * ex + ey * ey + _EPS)
+        if not need_grad:
+            return dn, None
+        inv = 1.0 / dn
+        gx, gy = ex * inv, ey * inv
+        gth = _add(_mul(gx, dpx), _mul(gy, dpy))
+        return dn, (gx, gy, gth)
+
+    def d_point_seg(pc, ax, ay, bx, by, need_grad):
+        """point_to_segment with the POINT pose-dependent (footprint point,
+        obstacle segment fixed at evaluation time)."""
+        px, py, _, dpx, dpy = pc
+        abx, aby = bx - ax, by - ay
+        denom = jnp.maximum(abx * abx + aby * aby, _EPS)
+        sxv, syv = px - ax, py - ay
+        t_raw = (sxv * abx + syv * aby) / denom
+        t = jnp.clip(t_raw, 0.0, 1.0)
+        ex, ey = sxv - t * abx, syv - t * aby
+        dn = jnp.sqrt(ex * ex + ey * ey + _EPS)
+        if not need_grad:
+            return dn, None
+        cl = clip_gate(t_raw)
+        inv = 1.0 / dn
+        # ∂dn/∂p = e/dn · (I − ab (cl·ab/denom)ᵀ), then chain through p(θ)
+        eab = (ex * abx + ey * aby) * cl / denom
+        gx = (ex - eab * abx) * inv
+        gy = (ey - eab * aby) * inv
+        gth = _add(_mul(gx, dpx), _mul(gy, dpy))
+        return dn, (gx, gy, gth)
+
+    def d_seg_point(fps, cx, cy, need_grad):
+        """point_to_segment with the SEGMENT pose-dependent (line footprint
+        [A(x), B(x)], obstacle point fixed). Full AD chain incl. the
+        numerically-nonzero ∂|ab|²/∂θ term."""
+        A, B, Ath, Bth = fps
+        abx, aby = B[0] - A[0], B[1] - A[1]
+        d2 = abx * abx + aby * aby
+        denom = jnp.maximum(d2, _EPS)
+        sxv, syv = cx - A[0], cy - A[1]
+        s = sxv * abx + syv * aby
+        t_raw = s / denom
+        t = jnp.clip(t_raw, 0.0, 1.0)
+        ex, ey = sxv - t * abx, syv - t * aby
+        dn = jnp.sqrt(ex * ex + ey * ey + _EPS)
+        if not need_grad:
+            return dn, None
+        abthx, abthy = Bth[0] - Ath[0], Bth[1] - Ath[1]
+        gd = jnp.where(d2 > _EPS, 1.0, jnp.where(d2 == _EPS, 0.5, 0.0))
+        ddenom_th = gd * 2.0 * (abx * abthx + aby * abthy)
+        ds_th = -(Ath[0] * abx + Ath[1] * aby) + (sxv * abthx + syv * abthy)
+        cl = clip_gate(t_raw)
+        dt_x = cl * (-abx) / denom
+        dt_y = cl * (-aby) / denom
+        dt_th = cl * (ds_th / denom - t_raw * ddenom_th / denom)
+        # e = (c − A) − t·ab
+        dex_x = -1.0 - abx * dt_x
+        dey_x = -aby * dt_x
+        dex_y = -abx * dt_y
+        dey_y = -1.0 - aby * dt_y
+        dex_th = -Ath[0] - abx * dt_th - t * abthx
+        dey_th = -Ath[1] - aby * dt_th - t * abthy
+        inv = 1.0 / dn
+        gx = (ex * dex_x + ey * dey_x) * inv
+        gy = (ex * dex_y + ey * dey_y) * inv
+        gth = (ex * dex_th + ey * dey_th) * inv
+        return dn, (gx, gy, gth)
+
+    def _orient(ax, ay, bx, by, cx, cy):
+        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+    def min2(c1, c2, need_grad):
+        """jnp.minimum of (d, grad) candidates with the 0.5 tie split."""
+        d1, g1 = c1
+        d2, g2 = c2
+        d = jnp.minimum(d1, d2)
+        if not need_grad:
+            return d, None
+        w1, w2 = sel_lt(d1, d2), sel_lt(d2, d1)
+        g = tuple(
+            _add(_mul(w1, a), _mul(w2, b)) for a, b in zip(g1, g2)
+        )
+        return d, g
+
+    def d_seg_seg(fps, ax, ay, bx, by, need_grad):
+        """segment_to_segment(footprint seg, obstacle seg): nested minimum of
+        four point-segment distances, zero on (and zero gradient through)
+        proper intersection — distances.segment_to_segment's exact chain."""
+        A, B, Ath, Bth = fps
+        c1 = d_point_seg((A[0], A[1], 0.0, Ath[0], Ath[1]), ax, ay, bx, by, need_grad)
+        c2 = d_point_seg((B[0], B[1], 0.0, Bth[0], Bth[1]), ax, ay, bx, by, need_grad)
+        c3 = d_seg_point(fps, ax, ay, need_grad)
+        c4 = d_seg_point(fps, bx, by, need_grad)
+        d, g = min2(min2(c1, c2, need_grad), min2(c3, c4, need_grad), need_grad)
+        o1 = _orient(ax, ay, bx, by, A[0], A[1])
+        o2 = _orient(ax, ay, bx, by, B[0], B[1])
+        o3 = _orient(A[0], A[1], B[0], B[1], ax, ay)
+        o4 = _orient(A[0], A[1], B[0], B[1], bx, by)
+        inter = jnp.logical_and(o1 * o2 < 0.0, o3 * o4 < 0.0)
+        d = jnp.where(inter, 0.0, d)
+        if need_grad:
+            keep = jnp.logical_not(inter).astype(f32)
+            g = tuple(_mul(keep, gi) for gi in g)
+        return d, g
+
+    def _poly_edges(j, t):
+        """Active edges of polygon slot j at prediction time t:
+        [(ax, ay, bx, by, active)] — b wraps to vertex 0 at the per-lane
+        active count nv (padding rows are inactive), centers shifted by the
+        slot velocity (obstacles.ObstacleSet.predict)."""
+        nv = pnv[j, 0, 0]
+        shx = _mul(pgv[j, 0, 0], t)
+        shy = _mul(pgv[j, 1, 0], t)
+        edges = []
+        for v in range(V):
+            axv = _add(pg[j, v, 0, 0], shx)
+            ayv = _add(pg[j, v, 1, 0], shy)
+            vn = min(v + 1, V - 1)
+            wrap = jnp.float32(v + 1) == nv
+            bxv = _add(jnp.where(wrap, pg[j, 0, 0, 0], pg[j, vn, 0, 0]), shx)
+            byv = _add(jnp.where(wrap, pg[j, 0, 1, 0], pg[j, vn, 1, 0]), shy)
+            act = jnp.float32(v) < nv
+            edges.append((axv, ayv, bxv, byv, act))
+        return edges
+
+    def _edges_min(cands, need_grad):
+        """jnp.min over active polygon edges with the reduce_min equal tie
+        split (inactive edges masked to F32_MAX like the XLA inf mask).
+        ``cands``: [((d, grad), active)]."""
+        ds = [jnp.where(act, d, _F32_MAX) for (d, _), act in cands]
+        dmin = ds[0]
+        for d in ds[1:]:
+            dmin = jnp.minimum(dmin, d)
+        if not need_grad:
+            return dmin, None
+        eqs = [
+            jnp.logical_and(d == dmin, act).astype(f32)
+            for d, ((_, _g), act) in zip(ds, cands)
+        ]
+        cnt = eqs[0]
+        for e in eqs[1:]:
+            cnt = cnt + e
+        inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
+        g = (0.0, 0.0, 0.0)
+        for e, ((_d, gv), _act) in zip(eqs, cands):
+            w = e * inv_cnt
+            g = tuple(_add(gi, _mul(w, gvi)) for gi, gvi in zip(g, gv))
+        return dmin, g
+
+    def _poly_inside(px, py, edges):
+        """Even-odd crossing test (distances.point_to_polygon_signed)."""
+        count = zero
+        for axv, ayv, bxv, byv, act in edges:
+            cond = (ayv > py) != (byv > py)
+            dyv = jnp.where(jnp.abs(byv - ayv) < _EPS, _EPS, byv - ayv)
+            x_int = axv + (py - ayv) * (bxv - axv) / dyv
+            count = count + jnp.logical_and(
+                jnp.logical_and(cond, px < x_int), act
+            ).astype(f32)
+        return jnp.mod(count, 2.0) == 1.0
+
+    def d_point_polygon(pc, edges, need_grad):
+        """point_to_polygon_signed(footprint point, polygon): min edge
+        distance, negated inside (gradient sign flips with the branch)."""
+        cands = [
+            (d_point_seg(pc, axv, ayv, bxv, byv, need_grad), act)
+            for axv, ayv, bxv, byv, act in edges
+        ]
+        dmin, g = _edges_min(cands, need_grad)
+        inside = _poly_inside(pc[0], pc[1], edges)
+        sgn = jnp.where(inside, -1.0, 1.0)
+        d = sgn * dmin
+        if need_grad:
+            g = tuple(_mul(sgn, gi) for gi in g)
+        return d, g
+
+    def d_seg_polygon(fps, edges, need_grad):
+        """segment_to_polygon(line footprint, polygon): min over edges of
+        segment-segment distance, zeroed (value and gradient) when the
+        footprint segment start lies inside the polygon."""
+        cands = [
+            (d_seg_seg(fps, axv, ayv, bxv, byv, need_grad), act)
+            for axv, ayv, bxv, byv, act in edges
+        ]
+        dmin, g = _edges_min(cands, need_grad)
+        A = fps[0]
+        inside = _poly_inside(A[0], A[1], edges)
+        d = jnp.where(inside, 0.0, dmin)
+        if need_grad:
+            keep = jnp.logical_not(inside).astype(f32)
+            g = tuple(_mul(keep, gi) for gi in g)
+        return d, g
+
+    def obs_terms(x, i, dt_pred=None, need_grad=True):
+        """Per-mu-row obstacle inequality g = min_dist − d and (optionally)
+        its pose gradient (∂g/∂x, ∂g/∂y, ∂g/∂θ); masked slots report
+        g = min_dist − BIG(±fp radius) with gradients killed downstream by
+        the zero AL weight (a = max(0, μ + ρg) ≈ 0 at g ≈ −1e6).
+
+        ``i`` is the POSE index (0..N): with dynamic obstacles the slots
+        are extrapolated to t = i * dt_pred. DERIVATIVE assembly
         (stage_grad_hess / terminal_Pp) uses the default — the solve's
         INITIAL dt, matching the per-cycle hoisted stage data of
         al_sqp._stage_obstacles (the f32 product i * dt matches
@@ -305,24 +612,85 @@ def _fused_kernel(
         representable). The LINE-SEARCH merit passes the candidate's
         clipped dt and the DUAL update the current dt: al_sqp._al_merit and
         _update_duals both re-evaluate constraints.obstacle_inequalities at
-        primal.dt, not the hoisted set."""
+        primal.dt, not the hoisted set. Returns (gs, grads): lists over the
+        M mu rows in footprints.distances' concat order [point+circle,
+        line, polygon]; grads entries are (gx, gy, gθ) of g (= −∇d)."""
         if dt_pred is None:
             dt_pred = dt_i[0, 0]
         t = dt_pred * i if dynamic else 0.0
-        gs, gx, gy = [], [], []
-        for j in range(M):
+        pcs = fp_points(x) if fp_seg is None else None
+        fps = fp_segment(x) if fp_seg is not None else None
+        gs, grads = [], []
+
+        def neg(g):
+            return tuple(
+                -gi if not _isc(gi) else 0.0 for gi in g
+            ) if g is not None else None
+
+        # point + circle slots (points are radius-0 circles)
+        for j in range(mpc):
             cxj = _add(oc[j, 0, 0], _mul(ov[j, 0, 0], t))
             cyj = _add(oc[j, 1, 0], _mul(ov[j, 1, 0], t))
-            dx0 = x[0] - cxj
-            dy0 = x[1] - cyj
-            dn = jnp.sqrt(dx0 * dx0 + dy0 * dy0 + _EPS)
-            d = dn - orr[j, 0, 0] - foot_r
-            g = min_dist - jnp.where(om[j, 0, 0] > 0.5, d, _BIG)
-            gs.append(g)
-            inv = 1.0 / dn
-            gx.append(-dx0 * inv)
-            gy.append(-dy0 * inv)
-        return gs, gx, gy
+            rj = orr[j, 0, 0]
+            mj = om[j, 0, 0] > 0.5
+            if fp_seg is None:
+                cands = []
+                for pc in pcs:
+                    dn, g = d_point_point(pc, cxj, cyj, need_grad)
+                    d_i = jnp.where(mj, dn - rj, _BIG) - pc[2]
+                    cands.append((d_i, g))
+                d, g = cands[0]
+                for c in cands[1:]:
+                    d, g = min2((d, g), c, need_grad)
+            else:
+                dn, g = d_seg_point(fps, cxj, cyj, need_grad)
+                d = jnp.where(mj, dn - rj, _BIG)
+            gs.append(min_dist - d)
+            grads.append(neg(g))
+
+        # line slots (endpoints shift together under the slot velocity)
+        for j in range(ml):
+            shx = _mul(lvl[j, 0, 0], t)
+            shy = _mul(lvl[j, 1, 0], t)
+            ax = _add(ln[j, 0, 0, 0], shx)
+            ay = _add(ln[j, 0, 1, 0], shy)
+            bx = _add(ln[j, 1, 0, 0], shx)
+            by = _add(ln[j, 1, 1, 0], shy)
+            mj = lm[j, 0, 0] > 0.5
+            if fp_seg is None:
+                cands = []
+                for pc in pcs:
+                    dn, g = d_point_seg(pc, ax, ay, bx, by, need_grad)
+                    d_i = jnp.where(mj, dn, _BIG) - pc[2]
+                    cands.append((d_i, g))
+                d, g = cands[0]
+                for c in cands[1:]:
+                    d, g = min2((d, g), c, need_grad)
+            else:
+                dn, g = d_seg_seg(fps, ax, ay, bx, by, need_grad)
+                d = jnp.where(mj, dn, _BIG)
+            gs.append(min_dist - d)
+            grads.append(neg(g))
+
+        # polygon slots
+        for j in range(mg):
+            edges = _poly_edges(j, t)
+            mj = pgm[j, 0, 0] > 0.5
+            if fp_seg is None:
+                cands = []
+                for pc in pcs:
+                    dn, g = d_point_polygon(pc, edges, need_grad)
+                    d_i = jnp.where(mj, dn, _BIG) - pc[2]
+                    cands.append((d_i, g))
+                d, g = cands[0]
+                for c in cands[1:]:
+                    d, g = min2((d, g), c, need_grad)
+            else:
+                dn, g = d_seg_polygon(fps, edges, need_grad)
+                d = jnp.where(mj, dn, _BIG)
+            gs.append(min_dist - d)
+            grads.append(neg(g))
+        return gs, grads
 
     # rate limits sanitized exactly like constraints.control_rate_inequalities
     lo_rs = [max(v, -_BIG) for v in lo_r]
@@ -451,7 +819,7 @@ def _fused_kernel(
             # obstacle rows: row k of (N, M) belongs to pose x_{k+1};
             # prediction at the CANDIDATE dt (al_sqp._al_merit evaluates
             # obstacle_inequalities at the candidate primal.dt)
-            gs, _, _ = obs_terms(xk1, k + 1, dt_pred=dtv)
+            gs, _ = obs_terms(xk1, k + 1, dt_pred=dtv, need_grad=False)
             m = m + psi_sum(gs, [mo_o[k, j, 0] for j in range(M)], rho)
             m = m + psi_sum(rate_g(uk, up, dtv), [mr_o[k, i, 0] for i in range(4)], rho)
             m = m + psi_sum(box_g(uk), [mb_o[k, i, 0] for i in range(4)], rho)
@@ -502,19 +870,22 @@ def _fused_kernel(
                 if qf[i] != 0.0:
                     Pm[i][i] = _add(Pm[i][i], 2.0 * qf[i])
                     pm[i] = _add(pm[i], 2.0 * qf[i] * _wrap(xN[i] - xf[i, 0]))
-        gs, gx, gy = obs_terms(xN, N)
+        gs, grads = obs_terms(xN, N)
         for j in range(M):
             mu = mo_o[N - 1, j, 0]
             a = jnp.maximum(0.0, mu + rho * gs[j])
             act = (mu + rho * gs[j] > 0.0).astype(f32)
             aw = rho * act
-            # gradient: a * dg/dp ; GN: aw * (dg/dp)(dg/dp)^T
-            pm[0] = _add(pm[0], a * gx[j])
-            pm[1] = _add(pm[1], a * gy[j])
-            Pm[0][0] = _add(Pm[0][0], aw * gx[j] * gx[j])
-            Pm[0][1] = _add(Pm[0][1], aw * gx[j] * gy[j])
-            Pm[1][1] = _add(Pm[1][1], aw * gy[j] * gy[j])
+            # gradient: a * dg/dpose ; GN: aw * (dg/dpose)(dg/dpose)^T — the
+            # pose block is 3x3 now that θ-dependent footprints are in scope
+            gj = grads[j]
+            for r in range(3):
+                pm[r] = _add(pm[r], _mul(a, gj[r]))
+                for c in range(r, 3):
+                    Pm[r][c] = _add(Pm[r][c], _mul(_mul(aw, gj[r]), gj[c]))
         Pm[1][0] = Pm[0][1]
+        Pm[2][0] = Pm[0][2]
+        Pm[2][1] = Pm[1][2]
         if objective == "quadratic_form" and integral_form and trapezoidal:
             # ½·dt·lx(x_N) tail: exact gradient/Hessian incl. the dtau cross
             # terms (terminal w carries dt in al_sqp._make_terminal_fns)
@@ -612,17 +983,19 @@ def _fused_kernel(
         # obstacles at x_k (row k-1; inactive when k == 0)
         on = (k > 0).astype(f32)
         km1 = jnp.maximum(k - 1, 0)
-        gs, gx, gy = obs_terms(xk, k)
+        gs, grads = obs_terms(xk, k)
         for j in range(M):
             mu = mo_o[km1, j, 0] * on
             a = jnp.maximum(0.0, mu + rho * gs[j]) * on
             aw = rho * on * (mu + rho * gs[j] > 0.0).astype(f32)
-            hz[0] = _add(hz[0], a * gx[j])
-            hz[1] = _add(hz[1], a * gy[j])
-            Hzz[0][0] = _add(Hzz[0][0], aw * gx[j] * gx[j])
-            Hzz[0][1] = _add(Hzz[0][1], aw * gx[j] * gy[j])
-            Hzz[1][1] = _add(Hzz[1][1], aw * gy[j] * gy[j])
+            gj = grads[j]
+            for r in range(3):
+                hz[r] = _add(hz[r], _mul(a, gj[r]))
+                for c in range(r, 3):
+                    Hzz[r][c] = _add(Hzz[r][c], _mul(_mul(aw, gj[r]), gj[c]))
         Hzz[1][0] = Hzz[0][1]
+        Hzz[2][0] = Hzz[0][2]
+        Hzz[2][1] = Hzz[1][2]
 
         # rate rows: g = +-(du - b dt); J_z over [du_prev, dtau],
         # J_v over du. Linear -> exact Hessian = rho [active] J J^T.
@@ -937,7 +1310,7 @@ def _fused_kernel(
             for i in range(3):
                 ld_o[k, i, 0] = ld_o[k, i, 0] + rho * c[i]
                 eq_m = jnp.maximum(eq_m, jnp.abs(c[i]))
-            gs, _, _ = obs_terms(xk1, k + 1, dt_pred=dtv)
+            gs, _ = obs_terms(xk1, k + 1, dt_pred=dtv, need_grad=False)
             for j in range(M):
                 mo_o[k, j, 0] = jnp.maximum(0.0, mo_o[k, j, 0] + rho * gs[j])
                 in_m = jnp.maximum(in_m, gs[j])
@@ -1092,10 +1465,11 @@ def _circle_slots(obs, batch, dtype):
 
 
 def fused_obstacles_supported(scenario) -> bool:
-    """The kernel handles point/circle slots; line/polygon slots must be
-    structurally absent (shape-0) — padded-but-masked rows are fine."""
+    """All four slot families (point/circle/line/polygon) are kernel-scoped;
+    polygons are bounded at 16 padded vertices to keep the fully-unrolled
+    per-edge geometry within a sane program size (wider pads fall back)."""
     o = scenario.obstacles
-    return o.lines.shape[-3] == 0 and o.polygons.shape[-3] == 0
+    return o.polygons.shape[-3] == 0 or o.polygons.shape[-2] <= 16
 
 
 @functools.partial(
@@ -1116,10 +1490,15 @@ def fused_solve(
     B = scenario.x0.shape[0]
     N, M = spec.N, spec.obstacle_cap
     f32 = jnp.float32
-    oc, orr, om, ovl = _circle_slots(scenario.obstacles, B, f32)
-    if oc.shape[-2] != M:
+    obs = scenario.obstacles
+    oc, orr, om, ovl = _circle_slots(obs, B, f32)
+    mpc = oc.shape[-2]
+    ml = obs.lines.shape[-3]
+    mg = obs.polygons.shape[-3]
+    V = obs.polygons.shape[-2] if mg else 0
+    if mpc + ml + mg != M:
         raise ValueError(
-            f"fused kernel: {oc.shape[-2]} point+circle slots != obstacle_cap {M}"
+            f"fused kernel: {mpc}+{ml}+{mg} obstacle slots != obstacle_cap {M}"
         )
     mu_obs_in = duals.mu_obs
     if M == 0:
@@ -1127,7 +1506,7 @@ def fused_solve(
         # run it with ONE masked dummy slot (g = min_dist − BIG never
         # activates — exact no-op, matching the XLA path's absent term) and
         # slice the multiplier rows back to width 0 on the way out.
-        M = 1
+        M = mpc = 1
         oc = jnp.zeros((B, 1, 2), f32)
         orr = jnp.zeros((B, 1), f32)
         om = jnp.zeros((B, 1), bool)
@@ -1135,17 +1514,29 @@ def fused_solve(
         mu_obs_in = jnp.zeros((B, N, 1), f32)
     dt0 = jnp.broadcast_to(jnp.asarray(init.dt, f32), (B,))
 
-    tiled = [
-        _to_tiles(jnp.asarray(a, f32), B)
-        for a in (
-            init.xs, init.us, dt0[:, None], scenario.xf, scenario.u_prev,
-            oc, orr[..., None] * 1.0, om.astype(f32)[..., None] * 1.0, ovl,
-            duals.lam_def, duals.lam_term, mu_obs_in, duals.mu_rate,
-            duals.mu_box, duals.mu_dt, duals.mu_ball, duals.rho[:, None],
-        )
+    # positional input layout (matches the kernel's unpack): base, per-family
+    # obstacle arrays (present only for non-empty families), warm duals
+    arrays = [init.xs, init.us, dt0[:, None], scenario.xf, scenario.u_prev]
+    if mpc:
+        arrays += [oc, orr[..., None] * 1.0, om.astype(f32)[..., None] * 1.0, ovl]
+    if ml:
+        arrays += [
+            obs.lines,
+            obs.line_mask.astype(f32)[..., None] * 1.0,
+            obs.line_vels,
+        ]
+    if mg:
+        arrays += [
+            obs.polygons,
+            obs.polygon_nv.astype(f32)[..., None] * 1.0,
+            obs.polygon_mask.astype(f32)[..., None] * 1.0,
+            obs.polygon_vels,
+        ]
+    arrays += [
+        duals.lam_def, duals.lam_term, mu_obs_in, duals.mu_rate,
+        duals.mu_box, duals.mu_dt, duals.mu_ball, duals.rho[:, None],
     ]
-    # squeeze the dummy [:, None] dims back: dt (1,), orr (M,1)->(M,), om …
-    # (kept as trailing length-1 leading dims in tile space: shapes below)
+    tiled = [_to_tiles(jnp.asarray(a, f32), B) for a in arrays]
     G = tiled[0].shape[-3]
 
     # static kernel parameters: force concrete evaluation even when the
@@ -1165,17 +1556,18 @@ def fused_solve(
         SimpleCarFrontWheelDrivingModel: "front_wheel",
         KinematicBicycleModelVelocityInput: "bicycle",
     }[type(spec.model)]
-    foot_r = float(getattr(spec.footprint, "radius", 0.0))
+    fp_circles, fp_seg = _footprint_static(spec.footprint)
 
     kernel = functools.partial(
         _fused_kernel,
-        N=N, M=M, model=model,
+        N=N, M=M, mpc=mpc, ml=ml, mg=mg, V=V, model=model,
         wheelbase=float(getattr(spec.model, "wheelbase", 1.0)),
         bike_lf=float(getattr(spec.model, "lf", 0.25)),
         bike_lr=float(getattr(spec.model, "lr", 0.25)),
         dynamic=bool(spec.enable_dynamic_obstacles),
+        fp_circles=fp_circles, fp_seg=fp_seg,
         lo_u=lo_u, hi_u=hi_u, lo_r=lo_r, hi_r=hi_r,
-        min_dist=float(spec.min_obstacle_dist), foot_r=foot_r,
+        min_dist=float(spec.min_obstacle_dist),
         xf_fixed=tuple(bool(b) for b in spec.xf_fixed),
         variable_dt=bool(spec.variable_dt),
         dt_min=float(spec.dt_min), dt_max=float(spec.dt_max),

@@ -49,3 +49,43 @@ def test_diffdrive_obstacle_ensemble_f32():
     assert not bool(jnp.any(jnp.isnan(r.cost)))
     conv_rate = float(jnp.mean(r.converged.astype(jnp.float32)))
     assert conv_rate >= 0.7, conv_rate
+
+
+def test_classify_feasibility_oracle():
+    """The float64 golden feasibility oracle labels a solvable ensemble
+    feasible and a goal-buried-in-obstacle instance unknown (VERDICT r2 #3:
+    separates 'solver failed' from 'instance infeasible' in converged_frac)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_local_planner_tpu.benchmarks import (
+        classify_feasibility,
+        config3_carlike_min_time,
+        random_ensemble,
+    )
+
+    # goal_radius must respect reachability: N*dt_max*v_max = 1.6 m at N=8
+    # (the default 3 m ensemble is provably infeasible at this horizon — the
+    # oracle itself flagged that when this test was first written)
+    spec = config3_carlike_min_time(N=8, obstacle_cap=2)
+    scen = random_ensemble(spec, 4, jax.random.PRNGKey(3), goal_radius=1.1)
+    labels, info = classify_feasibility(spec, scen, max_instances=4, maxiter=300)
+    assert len(labels) == 4 and info["n"] == 4
+    assert labels.count("feasible") >= 3  # the generator keeps goals clear
+    assert info["max_viol_on_feasible"] <= 1e-5
+
+    # bury the (fixed) goal inside an obstacle: no feasible point exists
+    obs = scen.obstacles
+    bad = dc.replace(
+        scen,
+        obstacles=dc.replace(
+            obs,
+            circles=jnp.broadcast_to(scen.xf[:, None, :2], obs.circles.shape),
+            circle_radii=jnp.full_like(obs.circle_radii, 0.6),
+            circle_mask=jnp.ones_like(obs.circle_mask),
+        ),
+    )
+    labels_bad, _ = classify_feasibility(spec, bad, max_instances=2, maxiter=300)
+    assert labels_bad.count("unknown") >= 1

@@ -77,11 +77,13 @@ from mpc_local_planner_tpu.systems.models import (
 import os as _os
 
 # Batch-tile geometry: each kernel program solves SUBLANES*LANES scenarios,
-# every per-scenario scalar an (SUBLANES, 128) vreg tile. SUBLANES=2 was the
-# round-2 shipping point; the env knob exists for the occupancy sweep
-# (BENCH_NOTES round 3) — native vregs are (8, 128), so SUBLANES<8 leaves
-# sublane occupancy on the table IF the kernel is vreg-throughput-bound.
-SUBLANES = int(_os.environ.get("MPC_FUSED_SUBLANES", "2"))
+# every per-scenario scalar an (SUBLANES, 128) vreg tile. Native vregs are
+# (8, 128): the round-3 occupancy sweep measured the warm flagship cycle at
+# 8.73 ms (SUBLANES=2) -> 6.10 ms (4) -> 5.87 ms (8) on v5e — the kernel was
+# sublane-occupancy-bound, so 8 is the default. The env knob remains for
+# sweeps; tests/conftest pins 2 because interpret mode pays the full padded
+# (SUBLANES*128) batch on CPU.
+SUBLANES = int(_os.environ.get("MPC_FUSED_SUBLANES", "8"))
 LANES = 128
 BT = SUBLANES * LANES
 _BIG = 1.0e6          # geometry.obstacles.BIG_DISTANCE
@@ -94,7 +96,12 @@ def fused_supported(spec) -> bool:
     """True when the fused kernel implements this spec's exact semantics."""
     return (
         not spec.nonuniform_dt
-        and spec.collocation == "forward_differences"
+        and spec.collocation
+        in (
+            "forward_differences",
+            "midpoint_differences",
+            "crank_nicolson_differences",
+        )
         and spec.objective in ("minimum_time", "quadratic_form")
         and spec.via_cap == 0
         and spec.nu == 2
@@ -196,7 +203,7 @@ def _wrap(th):
 def _fused_kernel(
     *refs,
     N: int, M: int, mpc: int, ml: int, mg: int, V: int,
-    model: str, wheelbase: float, bike_lf: float,
+    model: str, colloc: str, wheelbase: float, bike_lf: float,
     bike_lr: float, dynamic: bool,
     fp_circles, fp_seg,
     lo_u, hi_u, lo_r, hi_r, min_dist: float,
@@ -340,26 +347,79 @@ def _fused_kernel(
         ]
 
     def defect(xk, uk, xk1, dtv):
-        """Forward-difference collocation defect + its linearization.
+        """Collocation defect + linearization in transition form
+        (deltas: dx1 = F dx + G du + m ddt + r; c is the raw merit/dual
+        residual — for non-forward methods r = −E⁻¹c ≠ c).
 
-        c = wrap(xk + dt f(xk,uk) - xk1);  E = -I  =>  F = I + dt Jx,
-        G = dt Ju, m = f, r = c  (deltas: dx1 = F dx + G du + m ddt + r).
+        forward:  c = wrap(xk + dt f(xk,u) − xk1); E = −I → F = I + dt Jx,
+                  G = dt Ju, m = f, r = c.
+        midpoint: f at the SE(2) midpoint (collocation._phi_midpoint);
+                  A = I + (dt/2)Jx(xm), E = −I + (dt/2)Jx(xm).
+        CN:       f = ½(f(xk,u) + f(xk1,u)); A = I + (dt/2)Jx(xk),
+                  E = −I + (dt/2)Jx(xk1), B = (dt/2)(Ju(xk)+Ju(xk1)).
+        All four models have Jx = [[0,0,a],[0,0,b],[0,0,0]], so
+        E = [[-1,0,P],[0,-1,Q],[0,0,-1]] and −E⁻¹ = [[1,0,P],[0,1,Q],[0,0,1]]
+        in closed form (the XLA path computes inv3(E) — algebraically the
+        same, matched by the equivalence tests).
         """
-        f, Jx, Ju = dyn(xk, uk)
+        if colloc == "forward_differences":
+            f, Jx, Ju = dyn(xk, uk)
+            c = [
+                xk[0] + dtv * f[0] - xk1[0],
+                xk[1] + dtv * f[1] - xk1[1],
+                _wrap(xk[2] + dtv * f[2] - xk1[2]),
+            ]
+            F = [
+                [
+                    _add(1.0 if i == j else 0.0, _mul(dtv, Jx[i][j]))
+                    for j in range(3)
+                ]
+                for i in range(3)
+            ]
+            G = [[_mul(dtv, Ju[i][j]) for j in range(2)] for i in range(3)]
+            return c, F, G, f, c
+        if colloc == "midpoint_differences":
+            xm = [
+                0.5 * (xk[0] + xk1[0]),
+                0.5 * (xk[1] + xk1[1]),
+                _wrap(xk[2] + 0.5 * _wrap(xk1[2] - xk[2])),
+            ]
+            f, Jx, Ju = dyn(xm, uk)
+            a02, a12 = Jx[0][2], Jx[1][2]      # A's θ column (at xm)
+            e02, e12 = Jx[0][2], Jx[1][2]      # E's θ column (same point)
+            Bu = Ju
+        else:  # crank_nicolson_differences
+            fa, Jxa, Jua = dyn(xk, uk)
+            fb, Jxb, Jub = dyn(xk1, uk)
+            f = [0.5 * (fa[i] + fb[i]) for i in range(3)]
+            a02, a12 = Jxa[0][2], Jxa[1][2]
+            e02, e12 = Jxb[0][2], Jxb[1][2]
+            Bu = [
+                [_mul(0.5, _add(Jua[i][j], Jub[i][j])) for j in range(2)]
+                for i in range(3)
+            ]
         c = [
             xk[0] + dtv * f[0] - xk1[0],
             xk[1] + dtv * f[1] - xk1[1],
             _wrap(xk[2] + dtv * f[2] - xk1[2]),
         ]
+        hdt = 0.5 * dtv
+        P = _mul(hdt, e02)
+        Q = _mul(hdt, e12)
         F = [
-            [
-                _add(1.0 if i == j else 0.0, _mul(dtv, Jx[i][j]))
-                for j in range(3)
-            ]
-            for i in range(3)
+            [1.0, 0.0, _add(_mul(hdt, a02), P)],
+            [0.0, 1.0, _add(_mul(hdt, a12), Q)],
+            [0.0, 0.0, 1.0],
         ]
-        G = [[_mul(dtv, Ju[i][j]) for j in range(2)] for i in range(3)]
-        return c, F, G, f
+        Bd = [[_mul(dtv, Bu[i][j]) for j in range(2)] for i in range(3)]
+        G = [
+            [_add(Bd[0][j], _mul(P, Bd[2][j])) for j in range(2)],
+            [_add(Bd[1][j], _mul(Q, Bd[2][j])) for j in range(2)],
+            [Bd[2][j] for j in range(2)],
+        ]
+        m = [_add(f[0], _mul(P, f[2])), _add(f[1], _mul(Q, f[2])), f[2]]
+        r = [_add(c[0], _mul(P, c[2])), _add(c[1], _mul(Q, c[2])), c[2]]
+        return c, F, G, m, r
 
     # ------------------------------------------------------------------ #
     # obstacle geometry: hand-transcribed AD chains of geometry/distances
@@ -814,7 +874,7 @@ def _fused_kernel(
                           + alpha * dus[km1, i])
                 for i in range(2)
             ]
-            c, _, _, _ = defect(xk, uk, xk1, dtv)
+            c, _, _, _, _ = defect(xk, uk, xk1, dtv)
             m = m + phi_sum(c, [ld_o[k, i, 0] for i in range(3)], rho)
             # obstacle rows: row k of (N, M) belongs to pose x_{k+1};
             # prediction at the CANDIDATE dt (al_sqp._al_merit evaluates
@@ -1049,8 +1109,8 @@ def _fused_kernel(
                 k = N - 1 - t
                 xk, uk, xk1 = read_x(k), read_u(k), read_x(k + 1)
                 dtv = scal[0]
-                c, F, G, fvec = defect(xk, uk, xk1, dtv)
-                mcol = fvec if variable_dt else [0.0, 0.0, 0.0]
+                _c, F, G, mvec, rres = defect(xk, uk, xk1, dtv)
+                mcol = mvec if variable_dt else [0.0, 0.0, 0.0]
                 hz, hu, Hzz, Hzu, Huu = stage_grad_hess(k, rho)
 
                 # augmented transition (structured):
@@ -1066,7 +1126,7 @@ def _fused_kernel(
                     [G[0][0], G[0][1]], [G[1][0], G[1][1]], [G[2][0], G[2][1]],
                     [1.0, 0.0], [0.0, 1.0], [0.0, 0.0],
                 ]
-                rz = [c[0], c[1], c[2], 0.0, 0.0, 0.0]
+                rz = [rres[0], rres[1], rres[2], 0.0, 0.0, 0.0]
 
                 Pm = [[P[i, j] for j in range(na)] for i in range(na)]
                 pl_ = [pv[i] for i in range(na)]
@@ -1125,7 +1185,7 @@ def _fused_kernel(
             if debug_step == 4:
                 # dump raw stage N-1 pieces: x_{N-1}, u_{N-1}, x_N, c, f
                 xk, uk, xk1 = read_x(N - 1), read_u(N - 1), read_x(N)
-                c4, F4, G4, f4 = defect(xk, uk, xk1, scal[0])
+                c4, F4, G4, f4, _r4 = defect(xk, uk, xk1, scal[0])
                 for i in range(3):
                     ld_o[0, i, 0] = xk[i]
                     ld_o[1, i, 0] = xk1[i]
@@ -1185,8 +1245,8 @@ def _fused_kernel(
             def forward(k, _):
                 xk, uk, xk1 = read_x(k), read_u(k), read_x(k + 1)
                 dtv = scal[0]
-                c, F, G, fvec = defect(xk, uk, xk1, dtv)
-                mcol = fvec if variable_dt else [0.0, 0.0, 0.0]
+                _c, F, G, mvec, rres = defect(xk, uk, xk1, dtv)
+                mcol = mvec if variable_dt else [0.0, 0.0, 0.0]
                 z = [pv[i] for i in range(na)]
                 u = [
                     _add(_dotl([Ks[k, i, j] for j in range(na)], z), kffs[k, i])
@@ -1195,7 +1255,7 @@ def _fused_kernel(
                 xn = [
                     _add(
                         _add(_dotl(F[i], z[:3]), _dotl(G[i], u)),
-                        _add(_mul(mcol[i], z[5]), c[i]),
+                        _add(_mul(mcol[i], z[5]), rres[i]),
                     )
                     for i in range(3)
                 ]
@@ -1306,7 +1366,7 @@ def _fused_kernel(
             eq_m, in_m = carry
             xk, uk, xk1 = read_x(k), read_u(k), read_x(k + 1)
             up = read_uprev(k)
-            c, _, _, _ = defect(xk, uk, xk1, dtv)
+            c, _, _, _, _ = defect(xk, uk, xk1, dtv)
             for i in range(3):
                 ld_o[k, i, 0] = ld_o[k, i, 0] + rho * c[i]
                 eq_m = jnp.maximum(eq_m, jnp.abs(c[i]))
@@ -1561,6 +1621,7 @@ def fused_solve(
     kernel = functools.partial(
         _fused_kernel,
         N=N, M=M, mpc=mpc, ml=ml, mg=mg, V=V, model=model,
+        colloc=spec.collocation,
         wheelbase=float(getattr(spec.model, "wheelbase", 1.0)),
         bike_lf=float(getattr(spec.model, "lf", 0.25)),
         bike_lr=float(getattr(spec.model, "lr", 0.25)),

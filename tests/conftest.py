@@ -15,6 +15,10 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# interpret-mode fused-kernel tests pay the full padded SUBLANES*128 batch
+# on CPU — pin the small tile (the TPU default is 8; see ops/fused_al_sqp)
+os.environ.setdefault("MPC_FUSED_SUBLANES", "2")
+
 import pytest  # noqa: E402
 
 import jax  # noqa: E402 (may already be preloaded by sitecustomize)

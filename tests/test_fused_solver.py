@@ -56,9 +56,16 @@ def test_flagship_spec_in_scope():
 def test_out_of_scope_specs_rejected():
     spec = config3_carlike_min_time(N=8, obstacle_cap=4)
     assert not fused_supported(
-        dataclasses.replace(spec, collocation="midpoint_differences")
+        dataclasses.replace(spec, collocation="shooting_rk4")
     )
     assert not fused_supported(dataclasses.replace(spec, nonuniform_dt=True))
+    # all three FD collocation rules ARE in scope (round 3)
+    assert fused_supported(
+        dataclasses.replace(spec, collocation="midpoint_differences")
+    )
+    assert fused_supported(
+        dataclasses.replace(spec, collocation="crank_nicolson_differences")
+    )
     assert not fused_supported(
         dataclasses.replace(spec, objective="minimum_time_via_points", via_cap=4)
     )
@@ -485,5 +492,19 @@ def test_fused_mixed_slots_canonical_carlike():
         fp, key=39, batch=10, mp=1, mc=2, ml=2, mg=1, V=4, dyn=True
     )
     assert fused_supported(spec) and fused_obstacles_supported(scen)
+    _assert_solve_match(spec, scen, init, duals, atol=WIDE_ATOL,
+                        dual_atol=0.1, dual_rtol=0.08)
+
+
+@pytest.mark.parametrize(
+    "method", ["midpoint_differences", "crank_nicolson_differences"]
+)
+def test_fused_collocation_rules_match_xla(method):
+    """Midpoint and Crank-Nicolson collocation through the kernel: the
+    structured −E⁻¹ fold (E = −I + (dt/2)Jx has only a θ column for every
+    model) against the XLA path's inv3(E) linearization."""
+    spec, scen, init, duals = _setup(N=8, M=4, batch=12, key=41)
+    spec = dataclasses.replace(spec, collocation=method)
+    assert fused_supported(spec)
     _assert_solve_match(spec, scen, init, duals, atol=WIDE_ATOL,
                         dual_atol=0.1, dual_rtol=0.08)

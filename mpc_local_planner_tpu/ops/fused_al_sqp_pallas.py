@@ -31,18 +31,19 @@ hand-derived for this scope and tested against the AD path in
 tests/test_fused_solver.py).
 
 Scope (``fused_supported(spec)``): uniform grid (fixed or shared
-variable dt), forward-difference collocation, minimum_time OR
-quadratic_form objective (incl. integral form, left-sum/trapezoidal
-integration, hybrid min-time weight, optional terminal quadratic cost,
-optional terminal ball), all four robot models (unicycle, simple_car
-rear/front-wheel drive, kinematic bicycle), point/circular/two_circles/
-line footprints, point/circle/line/polygon obstacle slots (static or
-dynamic — constant-velocity prediction at the solve's initial dt,
-hoisted per-cycle exactly like al_sqp._stage_obstacles), no via points,
-no per-stage dt. Everything else (polygon footprint, via points,
-midpoint/CN collocation, non-uniform dt) falls back to the XLA path.
-Parity anchor: BASELINE configs #1-#4 plus the canonical carlike
-two_circles config (examples/cfg/carlike_minimum_time.yaml).
+variable dt), all three FD collocation rules (forward/midpoint/
+Crank-Nicolson), minimum_time, quadratic_form, or minimum_time_via_points
+objective (incl. integral form, left-sum/trapezoidal integration, hybrid
+min-time weight, optional terminal quadratic cost, optional terminal
+ball, via-point attraction with ordered/unordered stage assignment), all
+four robot models (unicycle, simple_car rear/front-wheel drive, kinematic
+bicycle), point/circular/two_circles/line footprints,
+point/circle/line/polygon obstacle slots (static or dynamic —
+constant-velocity prediction at the solve's initial dt, hoisted per-cycle
+exactly like al_sqp._stage_obstacles). Everything else (polygon
+footprint, shooting grids, non-uniform per-stage dt) falls back to the
+XLA path. Parity anchor: BASELINE configs #1-#4 plus the canonical
+carlike two_circles config (examples/cfg/carlike_minimum_time.yaml).
 
 The obstacle geometry hand-transcribes the AD chain of
 geometry/{distances,footprints}.py including JAX's subgradient
@@ -102,8 +103,8 @@ def fused_supported(spec) -> bool:
             "midpoint_differences",
             "crank_nicolson_differences",
         )
-        and spec.objective in ("minimum_time", "quadratic_form")
-        and spec.via_cap == 0
+        and spec.objective
+        in ("minimum_time", "quadratic_form", "minimum_time_via_points")
         and spec.nu == 2
         and type(spec.model)
         in (
@@ -202,9 +203,10 @@ def _wrap(th):
 # --------------------------------------------------------------------------- #
 def _fused_kernel(
     *refs,
-    N: int, M: int, mpc: int, ml: int, mg: int, V: int,
+    N: int, M: int, mpc: int, ml: int, mg: int, V: int, mv: int,
     model: str, colloc: str, wheelbase: float, bike_lf: float,
     bike_lr: float, dynamic: bool,
+    via_pw: float, via_ow: float, via_ordered: bool,
     fp_circles, fp_seg,
     lo_u, hi_u, lo_r, hi_r, min_dist: float,
     xf_fixed, variable_dt: bool, dt_min: float, dt_max: float, dt_ref: float,
@@ -245,10 +247,14 @@ def _fused_kernel(
         ln, lm, lvl = (next(it) for _ in range(3))
     if mg:
         pg, pnv, pgm, pgv = (next(it) for _ in range(4))
+    vp = vm = None
+    if mv:
+        vp, vm = (next(it) for _ in range(2))
     (ld_i, lt_i, mo_i, mr_i, mb_i, md_i, mball_i, rho_i,
      xs_o, us_o, dt_o, ld_o, lt_o, mo_o, mr_o, mb_o, md_o, mball_o, rho_o,
      cost_o, eq_o, in_o, cv_o,
      P, pv, Ks, kffs, dxs, dus, bxs, bus, scal) = (next(it) for _ in range(32))
+    vks = next(it) if mv else None
 
     # ---- state init: copy inputs into the output refs (working state) ---- #
     def _cp(t, _):
@@ -818,13 +824,75 @@ def _fused_kernel(
         u_term = _dotl([r_diag[j] for j in range(2)], [v * v for v in u])
         return x_term, u_term
 
+    mt_like = objective in ("minimum_time", "minimum_time_via_points")
+
+    # ---- via points (minimum_time_via_points objective) ------------------ #
+    def via_sweep(xfun, want_cost):
+        """Via-point stage assignment / cost (costs.via_stage_assignment +
+        via_points_cost): per via slot, the first-minimum stage argmin of the
+        position distance; ordered mode restricts each slot to stages at or
+        after the previous ACTIVE slot's stage. want_cost returns the summed
+        attraction cost of the trajectory (assignment recomputed from the
+        candidate, matching _al_merit -> funcs.cost); otherwise returns the
+        per-slot stage indices (f32 tiles) for the derivative assembly."""
+        out_ks, acc = [], 0.0
+        cursor = zero
+        for j in range(mv):
+            vpx, vpy = vp[j, 0, 0], vp[j, 1, 0]
+
+            def vbody(k, carry, _vpx=vpx, _vpy=vpy):
+                bd, bk, bth = carry
+                x = xfun(k)
+                dxv, dyv = x[0] - _vpx, x[1] - _vpy
+                d2 = dxv * dxv + dyv * dyv
+                if via_ordered:
+                    d2 = jnp.where(k >= cursor, d2, _F32_MAX)
+                upd = d2 < bd
+                return (
+                    jnp.where(upd, d2, bd),
+                    jnp.where(upd, zero + k, bk),
+                    jnp.where(upd, x[2], bth),
+                )
+
+            bd, bk, bth = jax.lax.fori_loop(
+                0, N + 1, vbody, (zero + _F32_MAX, zero, zero)
+            )
+            if via_ordered:
+                cursor = jnp.where(vm[j, 0, 0] > 0.5, bk, cursor)
+            out_ks.append(bk)
+            if want_cost:
+                cj = _mul(via_pw, bd)
+                if via_ow > 0.0:
+                    dthv = _wrap(bth - vp[j, 2, 0])
+                    cj = _add(cj, _mul(via_ow, dthv * dthv))
+                acc = _add(acc, jnp.where(vm[j, 0, 0] > 0.5, cj, 0.0))
+        return acc if want_cost else out_ks
+
+    def via_rows(x, k, hzv, Hd):
+        """Exact gradient/Hessian rows of the stage-k via term (the via
+        attraction is quadratic in position — part of the AD objective, so
+        exact in the hybrid surrogate). hzv: 3-list gradient accumulator;
+        Hd: 3-list diagonal accumulator; k may be a traced index."""
+        for j in range(mv):
+            wf = jnp.where(vks[j] == k, vm[j, 0, 0], 0.0)
+            hzv[0] = _add(hzv[0], _mul(2.0 * via_pw, wf * (x[0] - vp[j, 0, 0])))
+            hzv[1] = _add(hzv[1], _mul(2.0 * via_pw, wf * (x[1] - vp[j, 1, 0])))
+            Hd[0] = _add(Hd[0], _mul(2.0 * via_pw, wf))
+            Hd[1] = _add(Hd[1], _mul(2.0 * via_pw, wf))
+            if via_ow > 0.0:
+                dthv = _wrap(x[2] - vp[j, 2, 0])
+                hzv[2] = _add(hzv[2], _mul(2.0 * via_ow, wf * dthv))
+                Hd[2] = _add(Hd[2], _mul(2.0 * via_ow, wf))
+        return hzv, Hd
+
     def stage_iw(k):
         """Integration-rule stage weight (trapezoidal regrouping: ½ at k=0)."""
         return jnp.where(k == 0, 0.5, 1.0) if trapezoidal else 1.0
 
     def stage_cost(xk, uk, dtv, k):
-        """Stage-k objective term (al_sqp._make_stage_fns :: objective)."""
-        if objective == "minimum_time":
+        """Stage-k objective term (al_sqp._make_stage_fns :: objective —
+        the via attraction is handled trajectory-wide by via_sweep)."""
+        if mt_like:
             return dtv
         x_term, u_term = quad_terms(goal_dx(xk), uk)
         if integral_form:
@@ -883,13 +951,16 @@ def _fused_kernel(
             m = m + psi_sum(gs, [mo_o[k, j, 0] for j in range(M)], rho)
             m = m + psi_sum(rate_g(uk, up, dtv), [mr_o[k, i, 0] for i in range(4)], rho)
             m = m + psi_sum(box_g(uk), [mb_o[k, i, 0] for i in range(4)], rho)
-            if objective != "minimum_time":
+            if not mt_like:
                 m = m + stage_cost(xk, uk, dtv, k)
             return m
 
         m = jax.lax.fori_loop(0, N, body, zero)
-        if objective == "minimum_time":
+        if mt_like:
             m = m + float(N) * dtv                  # minimum_time cost
+        if objective == "minimum_time_via_points":
+            # assignment recomputed from the CANDIDATE (funcs.cost semantics)
+            m = m + via_sweep(cand_x, want_cost=True)
         xN = cand_x(N)
         te = term_eq(xN)
         m = m + phi_sum(te, [lt_o[i, 0] for i in range(3)], rho)
@@ -930,6 +1001,12 @@ def _fused_kernel(
                 if qf[i] != 0.0:
                     Pm[i][i] = _add(Pm[i][i], 2.0 * qf[i])
                     pm[i] = _add(pm[i], 2.0 * qf[i] * _wrap(xN[i] - xf[i, 0]))
+        if objective == "minimum_time_via_points":
+            pmv = [pm[0], pm[1], pm[2]]
+            Pd = [Pm[0][0], Pm[1][1], Pm[2][2]]
+            pmv, Pd = via_rows(xN, N, pmv, Pd)
+            pm[0], pm[1], pm[2] = pmv
+            Pm[0][0], Pm[1][1], Pm[2][2] = Pd
         gs, grads = obs_terms(xN, N)
         for j in range(M):
             mu = mo_o[N - 1, j, 0]
@@ -1004,9 +1081,15 @@ def _fused_kernel(
         Huu = [[0.0] * nu for _ in range(nu)]
 
         # objective stage terms
-        if objective == "minimum_time":
+        if mt_like:
             # min-time stage cost = dt -> d/dtau = 1
             hz[5] = _add(hz[5], one)
+            if objective == "minimum_time_via_points":
+                hzv = [hz[0], hz[1], hz[2]]
+                Hd = [Hzz[0][0], Hzz[1][1], Hzz[2][2]]
+                hzv, Hd = via_rows(xk, k, hzv, Hd)
+                hz[0], hz[1], hz[2] = hzv
+                Hzz[0][0], Hzz[1][1], Hzz[2][2] = Hd
         else:
             # quadratic form: exact gradient + exact (PSD diagonal) Hessian,
             # incl. the x/u-dtau cross rows of the integral form
@@ -1098,6 +1181,13 @@ def _fused_kernel(
         reg = zero + reg0
 
         for _it in range(n_sqp):
+            # via-point stage assignment at the CURRENT iterate — per-SQP-
+            # iteration stage data, exactly like al_sqp._sqp_iteration's
+            # _via_weights (piecewise-constant, not differentiated)
+            if objective == "minimum_time_via_points":
+                for _j, _bk in enumerate(via_sweep(read_x, want_cost=False)):
+                    vks[_j] = _bk
+
             # ---------- backward Riccati sweep (streaming derivatives) ----- #
             PN, pN = terminal_Pp(rho)
             for i in range(na):
@@ -1458,8 +1548,10 @@ def _fused_kernel(
     eq_o[0, 0] = jnp.where(ub, scal[3], eq_f)
     in_o[0, 0] = jnp.where(ub, scal[4], in_f)
     cv_o[0, 0] = jnp.logical_or(final_ok, scal[5] > 0.5).astype(f32)
-    if objective == "minimum_time":
+    if mt_like:
         cost = float(N) * dt_fin
+        if objective == "minimum_time_via_points":
+            cost = cost + via_sweep(read_x, want_cost=True)
     else:
         # full quadratic objective at the SELECTED primal (al_sqp evaluates
         # funcs.cost after the best-feasible selection)
@@ -1592,6 +1684,12 @@ def fused_solve(
             obs.polygon_mask.astype(f32)[..., None] * 1.0,
             obs.polygon_vels,
         ]
+    mv = spec.via_cap if spec.objective == "minimum_time_via_points" else 0
+    if mv:
+        arrays += [
+            scenario.via_points,
+            scenario.via_mask.astype(f32)[..., None] * 1.0,
+        ]
     arrays += [
         duals.lam_def, duals.lam_term, mu_obs_in, duals.mu_rate,
         duals.mu_box, duals.mu_dt, duals.mu_ball, duals.rho[:, None],
@@ -1620,8 +1718,11 @@ def fused_solve(
 
     kernel = functools.partial(
         _fused_kernel,
-        N=N, M=M, mpc=mpc, ml=ml, mg=mg, V=V, model=model,
+        N=N, M=M, mpc=mpc, ml=ml, mg=mg, V=V, mv=mv, model=model,
         colloc=spec.collocation,
+        via_pw=float(spec.via_position_weight),
+        via_ow=float(spec.via_orientation_weight),
+        via_ordered=bool(spec.via_points_ordered),
         wheelbase=float(getattr(spec.model, "wheelbase", 1.0)),
         bike_lf=float(getattr(spec.model, "lf", 0.25)),
         bike_lr=float(getattr(spec.model, "lr", 0.25)),
@@ -1688,7 +1789,8 @@ def fused_solve(
             pltpu.VMEM((N + 1, 3, SUBLANES, LANES), f32),        # best xs
             pltpu.VMEM((N, 2, SUBLANES, LANES), f32),            # best us
             pltpu.VMEM((10, SUBLANES, LANES), f32),              # scalars
-        ],
+        ]
+        + ([pltpu.VMEM((mv, SUBLANES, LANES), f32)] if mv else []),  # via ks
         interpret=interpret,
     )(*tiled)
 

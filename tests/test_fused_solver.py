@@ -508,3 +508,34 @@ def test_fused_collocation_rules_match_xla(method):
     assert fused_supported(spec)
     _assert_solve_match(spec, scen, init, duals, atol=WIDE_ATOL,
                         dual_atol=0.1, dual_rtol=0.08)
+
+
+@pytest.mark.parametrize("ordered", [False, True])
+def test_fused_via_points_match_xla(ordered):
+    """minimum_time_via_points through the kernel: per-iteration stage
+    assignment (first-min argmin; ordered cumulative cursor), candidate-local
+    assignment in the line-search merit, exact quadratic via rows in the
+    stage/terminal derivatives."""
+    spec, scen, init, duals = _setup(N=8, M=2, batch=12, key=47)
+    spec = dataclasses.replace(
+        spec,
+        objective="minimum_time_via_points",
+        via_cap=3,
+        via_position_weight=2.0,
+        via_orientation_weight=0.5,
+        via_points_ordered=ordered,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(48))
+    vp = jax.random.uniform(k1, (12, 3, 3), jnp.float32, 0.2, 2.0)
+    vmask = jax.random.uniform(k2, (12, 3), jnp.float32) > 0.3
+    scen = dataclasses.replace(scen, via_points=vp, via_mask=vmask)
+    assert fused_supported(spec)
+    out, ref = _assert_solve_match(spec, scen, init, duals, atol=WIDE_ATOL,
+                                   dual_atol=0.1, dual_rtol=0.08)
+    # the via attraction must actually bend the solution: compare against
+    # the same solve with all via slots masked off
+    scen_off = dataclasses.replace(scen, via_mask=jnp.zeros_like(vmask))
+    off = fused_solve(spec, WARM, scen_off, init, duals, interpret=True)
+    assert not np.allclose(
+        np.asarray(out.primal.xs), np.asarray(off.primal.xs), atol=1e-3
+    )

@@ -37,12 +37,12 @@ objective (incl. integral form, left-sum/trapezoidal integration, hybrid
 min-time weight, optional terminal quadratic cost, optional terminal
 ball, via-point attraction with ordered/unordered stage assignment), all
 four robot models (unicycle, simple_car rear/front-wheel drive, kinematic
-bicycle), point/circular/two_circles/line footprints,
-point/circle/line/polygon obstacle slots (static or dynamic —
-constant-velocity prediction at the solve's initial dt, hoisted per-cycle
-exactly like al_sqp._stage_obstacles). Everything else (polygon
-footprint, shooting grids, non-uniform per-stage dt) falls back to the
-XLA path. Parity anchor: BASELINE configs #1-#4 plus the canonical
+bicycle), ALL five footprints (point/circular/two_circles/line/polygon —
+polygon bounded at 8 vertices), point/circle/line/polygon obstacle slots
+(static or dynamic — constant-velocity prediction at the solve's initial
+dt, hoisted per-cycle exactly like al_sqp._stage_obstacles). Everything
+else (shooting grids, non-uniform per-stage dt) falls back to the XLA
+path. Parity anchor: BASELINE configs #1-#4 plus the canonical
 carlike two_circles config (examples/cfg/carlike_minimum_time.yaml).
 
 The obstacle geometry hand-transcribes the AD chain of
@@ -66,6 +66,7 @@ from mpc_local_planner_tpu.geometry.footprints import (
     CircularFootprint,
     LineFootprint,
     PointFootprint,
+    PolygonFootprint,
     TwoCirclesFootprint,
 )
 from mpc_local_planner_tpu.systems.models import (
@@ -113,9 +114,18 @@ def fused_supported(spec) -> bool:
             SimpleCarFrontWheelDrivingModel,
             KinematicBicycleModelVelocityInput,
         )
-        and isinstance(
-            spec.footprint,
-            (PointFootprint, CircularFootprint, TwoCirclesFootprint, LineFootprint),
+        and (
+            isinstance(
+                spec.footprint,
+                (PointFootprint, CircularFootprint, TwoCirclesFootprint,
+                 LineFootprint),
+            )
+            or (
+                isinstance(spec.footprint, PolygonFootprint)
+                # bounded: the kernel unrolls one moving-edge distance per
+                # footprint vertex per obstacle slot
+                and len(tuple(spec.footprint.vertices)) <= 8
+            )
         )
     )
 
@@ -130,20 +140,25 @@ def _footprint_static(footprint):
     import numpy as np
 
     if isinstance(footprint, PointFootprint):
-        return ((0.0, 0.0),), None
+        return ((0.0, 0.0),), None, None
     if isinstance(footprint, CircularFootprint):
-        return ((0.0, float(footprint.radius)),), None
+        return ((0.0, float(footprint.radius)),), None, None
     if isinstance(footprint, TwoCirclesFootprint):
         return (
             (float(footprint.front_offset), float(footprint.front_radius)),
             (float(footprint.rear_offset), float(footprint.rear_radius)),
-        ), None
+        ), None, None
     if isinstance(footprint, LineFootprint):
         ls = np.asarray(footprint.line_start, dtype=np.float64)
         le = np.asarray(footprint.line_end, dtype=np.float64)
         return None, (
             (float(ls[0]), float(ls[1])),
             (float(le[0]), float(le[1])),
+        ), None
+    if isinstance(footprint, PolygonFootprint):
+        verts = np.asarray(footprint.vertices, dtype=np.float64)
+        return None, None, tuple(
+            (float(v[0]), float(v[1])) for v in verts
         )
     raise ValueError(f"footprint not kernel-supported: {footprint!r}")
 
@@ -207,7 +222,7 @@ def _fused_kernel(
     model: str, colloc: str, wheelbase: float, bike_lf: float,
     bike_lr: float, dynamic: bool,
     via_pw: float, via_ow: float, via_ordered: bool,
-    fp_circles, fp_seg,
+    fp_circles, fp_seg, fp_poly,
     lo_u, hi_u, lo_r, hi_r, min_dist: float,
     xf_fixed, variable_dt: bool, dt_min: float, dt_max: float, dt_ref: float,
     qf, objective: str, q_diag, r_diag, integral_form: bool,
@@ -466,6 +481,30 @@ def _fused_kernel(
         Bth = (-s * lex - c * ley, c * lex - s * ley)
         return A, B, Ath, Bth
 
+    def fp_polygon(x):
+        """World footprint polygon (footprints.PolygonFootprint): vertex
+        tuples (px, py, 0, dpx_dθ, dpy_dθ) and closed moving edges in
+        d_seg_point's (A, B, Aθ, Bθ) layout. The vertex count is static,
+        so every edge is active."""
+        c, sn = jnp.cos(x[2]), jnp.sin(x[2])
+        pts = []
+        for vx, vy in fp_poly:
+            pts.append((
+                x[0] + c * vx - sn * vy,
+                x[1] + sn * vx + c * vy,
+                0.0,
+                -sn * vx - c * vy,
+                c * vx - sn * vy,
+            ))
+        Vf = len(fp_poly)
+        edges = []
+        for i in range(Vf):
+            a, b = pts[i], pts[(i + 1) % Vf]
+            edges.append(
+                ((a[0], a[1]), (b[0], b[1]), (a[3], a[4]), (b[3], b[4]))
+            )
+        return pts, edges
+
     def d_point_point(pc, cx, cy, need_grad):
         """safe_norm(footprint point − c); pc = (px, py, r, dpx_dθ, dpy_dθ).
         Returns (dn, pose gradient of dn)."""
@@ -599,14 +638,19 @@ def _fused_kernel(
         """jnp.min over active polygon edges with the reduce_min equal tie
         split (inactive edges masked to F32_MAX like the XLA inf mask).
         ``cands``: [((d, grad), active)]."""
-        ds = [jnp.where(act, d, _F32_MAX) for (d, _), act in cands]
+        ds = [
+            d if act is True else jnp.where(act, d, _F32_MAX)
+            for (d, _), act in cands
+        ]
         dmin = ds[0]
         for d in ds[1:]:
             dmin = jnp.minimum(dmin, d)
         if not need_grad:
             return dmin, None
         eqs = [
-            jnp.logical_and(d == dmin, act).astype(f32)
+            (d == dmin).astype(f32)
+            if act is True
+            else jnp.logical_and(d == dmin, act).astype(f32)
             for d, ((_, _g), act) in zip(ds, cands)
         ]
         cnt = eqs[0]
@@ -663,6 +707,87 @@ def _fused_kernel(
             g = tuple(_mul(keep, gi) for gi in g)
         return d, g
 
+    def _fp_poly_inside(cx, cy, fpedges):
+        """Even-odd test of a fixed point against the MOVING footprint
+        polygon (value-only — the inside branch carries no gradient)."""
+        count = zero
+        for A, B, _Ath, _Bth in fpedges:
+            cond = (A[1] > cy) != (B[1] > cy)
+            dyv = jnp.where(jnp.abs(B[1] - A[1]) < _EPS, _EPS, B[1] - A[1])
+            x_int = A[0] + (cy - A[1]) * (B[0] - A[0]) / dyv
+            count = count + jnp.logical_and(cond, cx < x_int).astype(f32)
+        return jnp.mod(count, 2.0) == 1.0
+
+    def d_point_fp_polygon(cx, cy, fpedges, need_grad):
+        """Signed dist(fixed point, moving footprint polygon) — negative
+        when the point penetrates the footprint (footprints.py convention,
+        point_to_polygon_signed with the polygon pose-dependent)."""
+        cands = [
+            (d_seg_point(fps_e, cx, cy, need_grad), True) for fps_e in fpedges
+        ]
+        dmin, g = _edges_min(cands, need_grad)
+        inside = _fp_poly_inside(cx, cy, fpedges)
+        sgn = jnp.where(inside, -1.0, 1.0)
+        d = sgn * dmin
+        if need_grad:
+            g = tuple(_mul(sgn, gi) for gi in g)
+        return d, g
+
+    def d_seg_seg_rev(fps, ax, ay, bx, by, need_grad):
+        """segment_to_segment with the FIXED segment as the first argument
+        (segment_to_polygon's call order when the polygon is the footprint:
+        obstacle line first, moving footprint edge second). Same value as
+        d_seg_seg; only the nested-minimum tie pairing differs."""
+        A, B, Ath, Bth = fps
+        c1 = d_seg_point(fps, ax, ay, need_grad)
+        c2 = d_seg_point(fps, bx, by, need_grad)
+        c3 = d_point_seg((A[0], A[1], 0.0, Ath[0], Ath[1]), ax, ay, bx, by, need_grad)
+        c4 = d_point_seg((B[0], B[1], 0.0, Bth[0], Bth[1]), ax, ay, bx, by, need_grad)
+        d, g = min2(min2(c1, c2, need_grad), min2(c3, c4, need_grad), need_grad)
+        o1 = _orient(ax, ay, bx, by, A[0], A[1])
+        o2 = _orient(ax, ay, bx, by, B[0], B[1])
+        o3 = _orient(A[0], A[1], B[0], B[1], ax, ay)
+        o4 = _orient(A[0], A[1], B[0], B[1], bx, by)
+        inter = jnp.logical_and(o3 * o4 < 0.0, o1 * o2 < 0.0)
+        d = jnp.where(inter, 0.0, d)
+        if need_grad:
+            keep = jnp.logical_not(inter).astype(f32)
+            g = tuple(_mul(keep, gi) for gi in g)
+        return d, g
+
+    def d_seg_fp_polygon(ax, ay, bx, by, fpedges, need_grad):
+        """dist(fixed segment, moving footprint polygon) — min over
+        footprint edges, zeroed when the segment start lies inside."""
+        cands = [
+            (d_seg_seg_rev(fps_e, ax, ay, bx, by, need_grad), True)
+            for fps_e in fpedges
+        ]
+        dmin, g = _edges_min(cands, need_grad)
+        inside = _fp_poly_inside(ax, ay, fpedges)
+        d = jnp.where(inside, 0.0, dmin)
+        if need_grad:
+            keep = jnp.logical_not(inside).astype(f32)
+            g = tuple(_mul(keep, gi) for gi in g)
+        return d, g
+
+    def d_polygon_fp_polygon(obs_edges, v0x, v0y, fppts, fpedges, need_grad):
+        """dist(obstacle polygon, moving footprint polygon) — min over
+        (fp edge x active obstacle edge) segment pairs, zero on mutual
+        containment (polygon_to_polygon with verts_a = footprint)."""
+        cands = []
+        for fps_e in fpedges:
+            for axv, ayv, bxv, byv, act in obs_edges:
+                cands.append((d_seg_seg(fps_e, axv, ayv, bxv, byv, need_grad), act))
+        dmin, g = _edges_min(cands, need_grad)
+        a_in_b = _poly_inside(fppts[0][0], fppts[0][1], obs_edges)
+        b_in_a = _fp_poly_inside(v0x, v0y, fpedges)
+        overlap = jnp.logical_or(a_in_b, b_in_a)
+        d = jnp.where(overlap, 0.0, dmin)
+        if need_grad:
+            keep = jnp.logical_not(overlap).astype(f32)
+            g = tuple(_mul(keep, gi) for gi in g)
+        return d, g
+
     def obs_terms(x, i, dt_pred=None, need_grad=True):
         """Per-mu-row obstacle inequality g = min_dist − d and (optionally)
         its pose gradient (∂g/∂x, ∂g/∂y, ∂g/∂θ); masked slots report
@@ -684,8 +809,14 @@ def _fused_kernel(
         if dt_pred is None:
             dt_pred = dt_i[0, 0]
         t = dt_pred * i if dynamic else 0.0
-        pcs = fp_points(x) if fp_seg is None else None
-        fps = fp_segment(x) if fp_seg is not None else None
+        pcs = fps = None
+        fppts = fpedges = None
+        if fp_poly is not None:
+            fppts, fpedges = fp_polygon(x)
+        elif fp_seg is not None:
+            fps = fp_segment(x)
+        else:
+            pcs = fp_points(x)
         gs, grads = [], []
 
         def neg(g):
@@ -699,7 +830,13 @@ def _fused_kernel(
             cyj = _add(oc[j, 1, 0], _mul(ov[j, 1, 0], t))
             rj = orr[j, 0, 0]
             mj = om[j, 0, 0] > 0.5
-            if fp_seg is None:
+            if fp_poly is not None:
+                dn, g = d_point_fp_polygon(cxj, cyj, fpedges, need_grad)
+                d = jnp.where(mj, dn - rj, _BIG)
+            elif fp_seg is not None:
+                dn, g = d_seg_point(fps, cxj, cyj, need_grad)
+                d = jnp.where(mj, dn - rj, _BIG)
+            else:
                 cands = []
                 for pc in pcs:
                     dn, g = d_point_point(pc, cxj, cyj, need_grad)
@@ -708,9 +845,6 @@ def _fused_kernel(
                 d, g = cands[0]
                 for c in cands[1:]:
                     d, g = min2((d, g), c, need_grad)
-            else:
-                dn, g = d_seg_point(fps, cxj, cyj, need_grad)
-                d = jnp.where(mj, dn - rj, _BIG)
             gs.append(min_dist - d)
             grads.append(neg(g))
 
@@ -723,7 +857,13 @@ def _fused_kernel(
             bx = _add(ln[j, 1, 0, 0], shx)
             by = _add(ln[j, 1, 1, 0], shy)
             mj = lm[j, 0, 0] > 0.5
-            if fp_seg is None:
+            if fp_poly is not None:
+                dn, g = d_seg_fp_polygon(ax, ay, bx, by, fpedges, need_grad)
+                d = jnp.where(mj, dn, _BIG)
+            elif fp_seg is not None:
+                dn, g = d_seg_seg(fps, ax, ay, bx, by, need_grad)
+                d = jnp.where(mj, dn, _BIG)
+            else:
                 cands = []
                 for pc in pcs:
                     dn, g = d_point_seg(pc, ax, ay, bx, by, need_grad)
@@ -732,9 +872,6 @@ def _fused_kernel(
                 d, g = cands[0]
                 for c in cands[1:]:
                     d, g = min2((d, g), c, need_grad)
-            else:
-                dn, g = d_seg_seg(fps, ax, ay, bx, by, need_grad)
-                d = jnp.where(mj, dn, _BIG)
             gs.append(min_dist - d)
             grads.append(neg(g))
 
@@ -742,7 +879,19 @@ def _fused_kernel(
         for j in range(mg):
             edges = _poly_edges(j, t)
             mj = pgm[j, 0, 0] > 0.5
-            if fp_seg is None:
+            if fp_poly is not None:
+                shx = _mul(pgv[j, 0, 0], t)
+                shy = _mul(pgv[j, 1, 0], t)
+                v0x = _add(pg[j, 0, 0, 0], shx)
+                v0y = _add(pg[j, 0, 1, 0], shy)
+                dn, g = d_polygon_fp_polygon(
+                    edges, v0x, v0y, fppts, fpedges, need_grad
+                )
+                d = jnp.where(mj, dn, _BIG)
+            elif fp_seg is not None:
+                dn, g = d_seg_polygon(fps, edges, need_grad)
+                d = jnp.where(mj, dn, _BIG)
+            else:
                 cands = []
                 for pc in pcs:
                     dn, g = d_point_polygon(pc, edges, need_grad)
@@ -751,9 +900,6 @@ def _fused_kernel(
                 d, g = cands[0]
                 for c in cands[1:]:
                     d, g = min2((d, g), c, need_grad)
-            else:
-                dn, g = d_seg_polygon(fps, edges, need_grad)
-                d = jnp.where(mj, dn, _BIG)
             gs.append(min_dist - d)
             grads.append(neg(g))
         return gs, grads
@@ -1714,7 +1860,7 @@ def fused_solve(
         SimpleCarFrontWheelDrivingModel: "front_wheel",
         KinematicBicycleModelVelocityInput: "bicycle",
     }[type(spec.model)]
-    fp_circles, fp_seg = _footprint_static(spec.footprint)
+    fp_circles, fp_seg, fp_poly = _footprint_static(spec.footprint)
 
     kernel = functools.partial(
         _fused_kernel,
@@ -1727,7 +1873,7 @@ def fused_solve(
         bike_lf=float(getattr(spec.model, "lf", 0.25)),
         bike_lr=float(getattr(spec.model, "lr", 0.25)),
         dynamic=bool(spec.enable_dynamic_obstacles),
-        fp_circles=fp_circles, fp_seg=fp_seg,
+        fp_circles=fp_circles, fp_seg=fp_seg, fp_poly=fp_poly,
         lo_u=lo_u, hi_u=hi_u, lo_r=lo_r, hi_r=hi_r,
         min_dist=float(spec.min_obstacle_dist),
         xf_fixed=tuple(bool(b) for b in spec.xf_fixed),

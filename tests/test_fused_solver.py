@@ -66,10 +66,11 @@ def test_out_of_scope_specs_rejected():
     assert fused_supported(
         dataclasses.replace(spec, collocation="crank_nicolson_differences")
     )
-    assert not fused_supported(
+    # quadratic form, via points, terminal ball, and dynamic obstacles ARE
+    # in scope (via points joined late round 3)
+    assert fused_supported(
         dataclasses.replace(spec, objective="minimum_time_via_points", via_cap=4)
     )
-    # quadratic form, terminal ball, and dynamic obstacles ARE in scope
     assert fused_supported(dataclasses.replace(spec, objective="quadratic_form"))
     assert fused_supported(dataclasses.replace(spec, ball_radius=0.5))
     assert fused_supported(
@@ -418,11 +419,25 @@ def test_widened_footprints_in_scope():
             spec, footprint=LineFootprint(line_start=(-0.1, 0.0), line_end=(0.3, 0.0))
         )
     )
-    assert not fused_supported(
+    # polygon footprints are in scope up to 8 vertices (late round 3)
+    assert fused_supported(
         dataclasses.replace(
             spec,
             footprint=PolygonFootprint(
                 vertices=((-0.2, -0.2), (0.2, -0.2), (0.2, 0.2), (-0.2, 0.2))
+            ),
+        )
+    )
+    import numpy as _np
+
+    ang = _np.linspace(0, 2 * _np.pi, 10, endpoint=False)
+    assert not fused_supported(
+        dataclasses.replace(
+            spec,
+            footprint=PolygonFootprint(
+                vertices=tuple(
+                    (float(0.3 * _np.cos(a)), float(0.3 * _np.sin(a))) for a in ang
+                )
             ),
         )
     )
@@ -539,3 +554,19 @@ def test_fused_via_points_match_xla(ordered):
     assert not np.allclose(
         np.asarray(out.primal.xs), np.asarray(off.primal.xs), atol=1e-3
     )
+
+
+def test_fused_polygon_footprint_matches_xla():
+    """Polygon footprint (the last footprint family) through the kernel:
+    moving-polygon signed distances against every obstacle slot family."""
+    from mpc_local_planner_tpu.geometry.footprints import PolygonFootprint
+
+    fp = PolygonFootprint(
+        vertices=((-0.15, -0.1), (0.25, -0.1), (0.25, 0.1), (-0.15, 0.1))
+    )
+    spec, scen, init, duals = _widened_setup(
+        fp, key=53, batch=10, mp=1, mc=1, ml=1, mg=1, V=4
+    )
+    assert fused_supported(spec) and fused_obstacles_supported(scen)
+    _assert_solve_match(spec, scen, init, duals, atol=WIDE_ATOL,
+                        dual_atol=0.1, dual_rtol=0.08)

@@ -348,13 +348,19 @@ def main():
     # meets its own 1e-3 feasibility tolerance); extra carries the
     # cold-oracle feasible fraction and conv_on_feasible (0.928 at 3×4).
     import os
+    alphas = tuple(
+        float(a)
+        for a in os.environ.get(
+            "BENCH_ALPHAS", "1.0,0.7,0.5,0.35,0.22,0.14,0.08,0.03"
+        ).split(",")
+    )
     warm = SolverSettings(
         n_al=int(os.environ.get("BENCH_NAL", "3")),
         n_sqp=int(os.environ.get("BENCH_NSQP", "4")),
         rho0=float(os.environ.get("BENCH_RHO0", "120.0")),
         rho_growth=float(os.environ.get("BENCH_RHOG", "5.0")),
         reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3,
-        alphas=(1.0, 0.7, 0.5, 0.35, 0.22, 0.14, 0.08, 0.03),
+        alphas=alphas,
     )
     batch = int(os.environ.get("BENCH_BATCH", "4096"))
 

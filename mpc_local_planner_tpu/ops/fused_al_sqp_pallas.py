@@ -32,7 +32,9 @@ tests/test_fused_solver.py).
 
 Scope (``fused_supported(spec)``): uniform grid (fixed or shared
 variable dt), all three FD collocation rules (forward/midpoint/
-Crank-Nicolson), minimum_time, quadratic_form, or minimum_time_via_points
+Crank-Nicolson) plus multiple-shooting grids (every explicit integrator
+euler..rk5, ≤4 substeps, via a generic tableau-walking hand forward-mode),
+minimum_time, quadratic_form, or minimum_time_via_points
 objective (incl. integral form, left-sum/trapezoidal integration, hybrid
 min-time weight, optional terminal quadratic cost, optional terminal
 ball, via-point attraction with ordered/unordered stage assignment), all
@@ -40,9 +42,9 @@ four robot models (unicycle, simple_car rear/front-wheel drive, kinematic
 bicycle), ALL five footprints (point/circular/two_circles/line/polygon —
 polygon bounded at 8 vertices), point/circle/line/polygon obstacle slots
 (static or dynamic — constant-velocity prediction at the solve's initial
-dt, hoisted per-cycle exactly like al_sqp._stage_obstacles). Everything
-else (shooting grids, non-uniform per-stage dt) falls back to the XLA
-path. Parity anchor: BASELINE configs #1-#4 plus the canonical
+dt, hoisted per-cycle exactly like al_sqp._stage_obstacles). The one
+remaining fallback is the non-uniform per-stage-dt grid (its per-stage dt
+widens the Riccati control blocks — XLA path). Parity anchor: BASELINE configs #1-#4 plus the canonical
 carlike two_circles config (examples/cfg/carlike_minimum_time.yaml).
 
 The obstacle geometry hand-transcribes the AD chain of
@@ -96,14 +98,21 @@ _F32_MAX = float(jnp.finfo(jnp.float32).max)
 
 def fused_supported(spec) -> bool:
     """True when the fused kernel implements this spec's exact semantics."""
+    colloc_ok = spec.collocation in (
+        "forward_differences",
+        "midpoint_differences",
+        "crank_nicolson_differences",
+    )
+    if spec.collocation.startswith("shooting_"):
+        from mpc_local_planner_tpu.ocp.collocation import _parse_shooting
+
+        integ, substeps = _parse_shooting(spec.collocation)
+        # every explicit integrator has a kernel tableau; bound the unrolled
+        # per-stage chain (stages x substeps dynamics evals)
+        colloc_ok = integ in _RK_TABLEAUS and substeps <= 4
     return (
         not spec.nonuniform_dt
-        and spec.collocation
-        in (
-            "forward_differences",
-            "midpoint_differences",
-            "crank_nicolson_differences",
-        )
+        and colloc_ok
         and spec.objective
         in ("minimum_time", "quadratic_form", "minimum_time_via_points")
         and spec.nu == 2
@@ -213,6 +222,35 @@ def _wrap(th):
     return jnp.mod(th + math.pi, _TWO_PI) - math.pi
 
 
+# Butcher tableaus of numerics/integrators.py's explicit integrators
+# (a-matrix rows for stages 2..S, b weights). The kernel walks these with a
+# hand forward-mode (value + 3x6 tangent) — one mechanism for every
+# shooting integrator instead of per-integrator derivative algebra.
+_RK_TABLEAUS = {
+    "explicit_euler": ((), (1.0,)),
+    "rk2_midpoint": (((0.5,),), (0.0, 1.0)),
+    "rk2_heun": (((1.0,),), (0.5, 0.5)),
+    "rk3": (((0.5,), (-1.0, 2.0)), (1.0 / 6.0, 4.0 / 6.0, 1.0 / 6.0)),
+    "rk4": (
+        ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0)),
+        (1.0 / 6.0, 2.0 / 6.0, 2.0 / 6.0, 1.0 / 6.0),
+    ),
+    "rk5": (
+        (
+            (1.0 / 4.0,),
+            (3.0 / 32.0, 9.0 / 32.0),
+            (1932.0 / 2197.0, -7200.0 / 2197.0, 7296.0 / 2197.0),
+            (439.0 / 216.0, -8.0, 3680.0 / 513.0, -845.0 / 4104.0),
+            (-8.0 / 27.0, 2.0, -3544.0 / 2565.0, 1859.0 / 4104.0, -11.0 / 40.0),
+        ),
+        (
+            16.0 / 135.0, 0.0, 6656.0 / 12825.0, 28561.0 / 56430.0,
+            -9.0 / 50.0, 2.0 / 55.0,
+        ),
+    ),
+}
+
+
 # --------------------------------------------------------------------------- #
 # the kernel
 # --------------------------------------------------------------------------- #
@@ -249,6 +287,12 @@ def _fused_kernel(
     f32 = jnp.float32
     zero = jnp.zeros((SUBLANES, LANES), f32)
     one = zero + 1.0
+
+    shoot_integ, shoot_substeps = None, 1
+    if colloc.startswith("shooting_"):
+        from mpc_local_planner_tpu.ocp.collocation import _parse_shooting
+
+        shoot_integ, shoot_substeps = _parse_shooting(colloc)
 
     # ---- unpack the positional ref layout --------------------------------- #
     it = iter(refs)
@@ -367,6 +411,67 @@ def _fused_kernel(
             jnp.where(k == 0, u_prev[i, 0], us_o[km1, i, 0]) for i in range(2)
         ]
 
+    def _dyn_jvp(xv, Xt, uk):
+        """f(x, u) value + pushforward of the 3x6 tangent Xt = ∂x/∂w,
+        w = [x0 (3), u (2), dtau (1)] — hand forward-mode matching jacfwd.
+        The models' Jx has only a θ column, so the Jx·Xt product reduces to
+        one row-2 broadcast; Ju adds into the u columns."""
+        f, Jx, Ju = dyn(xv, uk)
+        Ft = [[0.0] * 6 for _ in range(3)]
+        for i in range(2):  # Jx rows 0,1 have only the θ entry; row 2 is 0
+            for j in range(6):
+                Ft[i][j] = _mul(Jx[i][2], Xt[2][j])
+        for i in range(3):
+            for j in range(2):
+                Ft[i][3 + j] = _add(Ft[i][3 + j], Ju[i][j])
+        return f, Ft
+
+    def _axpy_jvp(xv, Xt, c, hv, dh, kv, Kt):
+        """(x + c·h·k) with tangents: h carries ∂h/∂dtau = dh in col 5."""
+        nv = [_add(xv[i], _mul(c, _mul(hv, kv[i]))) for i in range(3)]
+        Nt = [
+            [
+                _add(
+                    Xt[i][j],
+                    _mul(
+                        c,
+                        _add(
+                            _mul(hv, Kt[i][j]),
+                            _mul(dh, kv[i]) if j == 5 else 0.0,
+                        ),
+                    ),
+                )
+                for j in range(6)
+            ]
+            for i in range(3)
+        ]
+        return nv, Nt
+
+    def _shoot_phi(xk, uk, dtv):
+        """Explicit-RK shooting prediction Φ(x_k, u_k, dt) + full tangent
+        (collocation._shooting_pred semantics: ZOH control, dt/substeps
+        fixed step, tableau from _RK_TABLEAUS)."""
+        a_rows, b = _RK_TABLEAUS[shoot_integ]
+        hv = dtv / shoot_substeps if shoot_substeps > 1 else dtv
+        dh = 1.0 / shoot_substeps
+        xv = list(xk)
+        Xt = [[1.0 if i == j else 0.0 for j in range(6)] for i in range(3)]
+        for _sub in range(shoot_substeps):
+            ks = []
+            kv, Kt = _dyn_jvp(xv, Xt, uk)
+            ks.append((kv, Kt))
+            for row in a_rows:
+                yv, Yt = xv, Xt
+                for c, (kv_j, Kt_j) in zip(row, ks):
+                    if c != 0.0:
+                        yv, Yt = _axpy_jvp(yv, Yt, c, hv, dh, kv_j, Kt_j)
+                kv, Kt = _dyn_jvp(yv, Yt, uk)
+                ks.append((kv, Kt))
+            for c, (kv_j, Kt_j) in zip(b, ks):
+                if c != 0.0:
+                    xv, Xt = _axpy_jvp(xv, Xt, c, hv, dh, kv_j, Kt_j)
+        return xv, Xt
+
     def defect(xk, uk, xk1, dtv):
         """Collocation defect + linearization in transition form
         (deltas: dx1 = F dx + G du + m ddt + r; c is the raw merit/dual
@@ -383,6 +488,20 @@ def _fused_kernel(
         in closed form (the XLA path computes inv3(E) — algebraically the
         same, matched by the equivalence tests).
         """
+        if colloc.startswith("shooting_"):
+            # multiple shooting: c = Φ(x_k, u_k, dt) ⊖ x_{k+1}; E = −I
+            # exactly (Φ is x_{k+1}-independent), so the transition form is
+            # the tangent itself: F = ∂Φ/∂x, G = ∂Φ/∂u, m = ∂Φ/∂dt, r = c.
+            xv, Xt = _shoot_phi(xk, uk, dtv)
+            c = [
+                xv[0] - xk1[0],
+                xv[1] - xk1[1],
+                _wrap(xv[2] - xk1[2]),
+            ]
+            F = [[Xt[i][j] for j in range(3)] for i in range(3)]
+            G = [[Xt[i][3 + j] for j in range(2)] for i in range(3)]
+            m = [Xt[i][5] for i in range(3)]
+            return c, F, G, m, c
         if colloc == "forward_differences":
             f, Jx, Ju = dyn(xk, uk)
             c = [

@@ -55,16 +55,17 @@ def test_flagship_spec_in_scope():
 
 def test_out_of_scope_specs_rejected():
     spec = config3_carlike_min_time(N=8, obstacle_cap=4)
-    assert not fused_supported(
-        dataclasses.replace(spec, collocation="shooting_rk4")
-    )
     assert not fused_supported(dataclasses.replace(spec, nonuniform_dt=True))
-    # all three FD collocation rules ARE in scope (round 3)
+    # all three FD collocation rules AND bounded shooting grids are in scope
     assert fused_supported(
         dataclasses.replace(spec, collocation="midpoint_differences")
     )
     assert fused_supported(
         dataclasses.replace(spec, collocation="crank_nicolson_differences")
+    )
+    assert fused_supported(dataclasses.replace(spec, collocation="shooting_rk4"))
+    assert not fused_supported(
+        dataclasses.replace(spec, collocation="shooting_rk4_8")  # substep cap
     )
     # quadratic form, via points, terminal ball, and dynamic obstacles ARE
     # in scope (via points joined late round 3)
@@ -568,5 +569,20 @@ def test_fused_polygon_footprint_matches_xla():
         fp, key=53, batch=10, mp=1, mc=1, ml=1, mg=1, V=4
     )
     assert fused_supported(spec) and fused_obstacles_supported(scen)
+    _assert_solve_match(spec, scen, init, duals, atol=WIDE_ATOL,
+                        dual_atol=0.1, dual_rtol=0.08)
+
+
+@pytest.mark.parametrize(
+    "method", ["shooting_rk4", "shooting_rk2_heun", "shooting_rk5",
+               "shooting_rk4_2"]
+)
+def test_fused_shooting_matches_xla(method):
+    """Multiple-shooting transcription through the kernel: the generic
+    tableau-walking forward-mode (value + 3x6 tangent) against the XLA
+    path's jacfwd through numerics/integrators.py."""
+    spec, scen, init, duals = _setup(N=8, M=2, batch=10, key=59)
+    spec = dataclasses.replace(spec, collocation=method)
+    assert fused_supported(spec)
     _assert_solve_match(spec, scen, init, duals, atol=WIDE_ATOL,
                         dual_atol=0.1, dual_rtol=0.08)

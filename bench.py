@@ -334,8 +334,10 @@ def main():
     # Operating point measured on v5e, round 3 (batch 4096, fused kernel at
     # SUBLANES=8; conv = steady-state fraction at 1e-3 feasibility; tunnel
     # variance ±15-20% on cycle time, conv exactly reproducible):
-    #   3×4+8α ρ₀=120 → 6.1 ms @ 0.826 → 556k converged/s  <- default
-    #   2×4+8α ρ₀=120 → 5.0 ms @ 0.812 → 654-670k (throughput point)
+    #   3×4+6α ρ₀=120 → 5.4 ms @ 0.822 → 628k converged/s  <- default
+    #   3×4+8α ρ₀=120 → 6.0 ms @ 0.826 → 556-568k (max-conv point)
+    #   3×4+5α        → 5.4 ms @ 0.820 → 622k (no conv margin)
+    #   2×4+8α ρ₀=120 → 5.0 ms @ 0.812 → 654-670k
     #   2×3+8α ρ₀=120 → 4.8-5.9 ms @ 0.739 → 514-637k
     # 3×4 is the default: VERDICT r2 prioritized per-cycle reliability
     # (fleet operators care about per-robot success), and 0.826 is within
@@ -351,7 +353,7 @@ def main():
     alphas = tuple(
         float(a)
         for a in os.environ.get(
-            "BENCH_ALPHAS", "1.0,0.7,0.5,0.35,0.22,0.14,0.08,0.03"
+            "BENCH_ALPHAS", "1.0,0.7,0.5,0.22,0.08,0.03"
         ).split(",")
     )
     warm = SolverSettings(
@@ -455,12 +457,16 @@ def main():
         n_both = int(jnp.sum(both_conv))
         # threshold scales with the iteration budget: the two exact-math
         # paths diverge from f32 noise on converged lanes (measured 2.4e-7
-        # at 1 iter, <=1.5e-3 at 6, 1.1e-2 at 12 — growth slows once lanes
-        # converge); a real lowering/constant bug produces O(0.1-1)
-        # differences AND flag disagreement (verified by deliberately
-        # breaking the hinge-weight constant — BENCH_NOTES r3)
+        # at 1 iter, <=1.5e-3 at 6, up to 1.9e-2 at 12 — growth slows once
+        # lanes converge); thresholds carry ~2.5x margin over the measured
+        # worst case because a gate failure kills the whole bench run. The
+        # PRIMARY semantic check is conv-flag agreement: a real lowering/
+        # constant bug flips flags AND produces O(0.1-1) trajectory error
+        # (verified: a 2% break of the min-time gradient constant measured
+        # conv_agree 0.9805 + dxs 0.016 at SIX iterations — both checks
+        # trip; BENCH_NOTES r3)
         iters = warm.n_al * warm.n_sqp
-        dxs_tol = 2e-3 if iters <= 6 else (2e-2 if iters <= 12 else 5e-2)
+        dxs_tol = 5e-3 if iters <= 6 else (5e-2 if iters <= 12 else 1e-1)
         gate_info = {
             "conv_agree_frac": round(agree, 4),
             "converged_lanes_compared": n_both,

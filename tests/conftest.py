@@ -60,6 +60,7 @@ SLOW_TESTS = {
     "test_fused_via_points_match_xla",
     "test_fused_polygon_footprint_matches_xla",
     "test_fused_shooting_matches_xla",
+    "test_fused_random_inscope_spec_fuzz",
     # closed loops / grid adaptation
     "test_closed_loop_horizon_shrinks_toward_goal",
     "test_closed_loop_horizon_grows_when_goal_recedes",

@@ -586,3 +586,92 @@ def test_fused_shooting_matches_xla(method):
     assert fused_supported(spec)
     _assert_solve_match(spec, scen, init, duals, atol=WIDE_ATOL,
                         dual_atol=0.1, dual_rtol=0.08)
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_fused_random_inscope_spec_fuzz(seed):
+    """Cross-feature interaction fuzz: a random in-scope spec (model x
+    footprint x objective x collocation x flags x slot mix) must match the
+    XLA path end to end — features are exercised TOGETHER, not per-family.
+    Small shapes + 1x2 budget keep interpret mode fast."""
+    import random
+
+    from mpc_local_planner_tpu.geometry.footprints import (
+        CircularFootprint, LineFootprint, PointFootprint, PolygonFootprint,
+        TwoCirclesFootprint,
+    )
+    from mpc_local_planner_tpu.systems.models import (
+        KinematicBicycleModelVelocityInput, SimpleCarFrontWheelDrivingModel,
+        SimpleCarModel, UnicycleModel,
+    )
+
+    rng = random.Random(seed)
+    model = rng.choice([
+        UnicycleModel(), SimpleCarModel(wheelbase=0.5),
+        SimpleCarFrontWheelDrivingModel(wheelbase=0.5),
+        KinematicBicycleModelVelocityInput(lf=0.3, lr=0.2),
+    ])
+    footprint = rng.choice([
+        PointFootprint(), CircularFootprint(radius=0.15),
+        TwoCirclesFootprint(0.12, 0.15, -0.12, 0.15),
+        LineFootprint(line_start=(-0.1, 0.0), line_end=(0.25, 0.0)),
+        PolygonFootprint(vertices=((-0.1, -0.08), (0.2, -0.08), (0.2, 0.08),
+                                   (-0.1, 0.08))),
+    ])
+    objective = rng.choice(["minimum_time", "quadratic_form",
+                            "minimum_time_via_points"])
+    colloc = rng.choice(["forward_differences", "midpoint_differences",
+                         "crank_nicolson_differences", "shooting_rk4",
+                         "shooting_rk2_heun"])
+    fam = {"mp": rng.randint(0, 1), "mc": rng.randint(0, 2),
+           "ml": rng.randint(0, 1), "mg": rng.randint(0, 1)}
+    if sum(fam.values()) == 0:
+        fam["mc"] = 1
+    spec = dataclasses.replace(
+        config3_carlike_min_time(N=6, obstacle_cap=sum(fam.values())),
+        model=model, footprint=footprint, objective=objective,
+        collocation=colloc,
+        enable_dynamic_obstacles=rng.random() < 0.5,
+        ball_radius=0.4 if rng.random() < 0.4 else 0.0,
+        qf_diag=(5.0, 5.0, 2.0) if rng.random() < 0.4 else None,
+        variable_dt=rng.random() < 0.7,
+        integral_form=rng.random() < 0.5,
+        cost_integration=rng.choice(["left_sum", "trapezoidal"]),
+        hybrid_time_weight=0.3 if rng.random() < 0.3 else 0.0,
+        via_cap=2 if objective == "minimum_time_via_points" else 0,
+        via_points_ordered=rng.random() < 0.5,
+        via_orientation_weight=0.3 if rng.random() < 0.5 else 0.0,
+    )
+    if spec.objective == "quadratic_form" and not spec.variable_dt:
+        pass  # fixed-dt quadratic: fine
+    assert fused_supported(spec), spec
+    batch = 8
+    scen = random_ensemble(
+        dataclasses.replace(spec, obstacle_cap=0, via_cap=0),
+        batch, jax.random.PRNGKey(seed), goal_radius=1.6,
+    )
+    obs = _mixed_obstacles(batch, jax.random.PRNGKey(seed + 1),
+                           dyn=spec.enable_dynamic_obstacles, V=4, **fam)
+    scen = dataclasses.replace(scen, obstacles=obs)
+    if spec.via_cap:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 2))
+        scen = dataclasses.replace(
+            scen,
+            via_points=jax.random.uniform(k1, (batch, 2, 3), jnp.float32, 0.2, 1.5),
+            via_mask=jax.random.uniform(k2, (batch, 2), jnp.float32) > 0.3,
+        )
+    init = initial_primal(spec, scen)
+    duals = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (batch,) + a.shape),
+        init_duals(spec, WARM, dtype=jnp.float32),
+    )
+    S = dataclasses.replace(WARM, n_al=1, n_sqp=2)
+    ref = jax.jit(
+        jax.vmap(lambda s, i, d: solve_single(spec, S, s, i, d))
+    )(scen, init, duals)
+    out = fused_solve(spec, S, scen, init, duals, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out.primal.xs), np.asarray(ref.primal.xs), atol=2e-4,
+        err_msg=f"spec={spec}",
+    )
+    assert np.array_equal(np.asarray(out.converged), np.asarray(ref.converged))

@@ -30,11 +30,14 @@ scope below and with closed-form derivatives replacing AD (they are
 hand-derived for this scope and tested against the AD path in
 tests/test_fused_solver.py).
 
-Scope (``fused_supported(spec)``): uniform grid (fixed or shared
-variable dt), all three FD collocation rules (forward/midpoint/
-Crank-Nicolson) plus multiple-shooting grids (every explicit integrator
-euler..rk5, ≤4 substeps, via a generic tableau-walking hand forward-mode),
-minimum_time, quadratic_form, or minimum_time_via_points
+Scope (``fused_supported(spec)``): every grid the solver supports —
+fixed dt, shared variable dt, and the NON-UNIFORM per-stage-dt grid
+(each δdt_k an extra control column; 3x3 Quu closed-form inverse,
+per-interval dt boxes as stage inequalities, cumulative prediction
+times); all three FD collocation rules (forward/midpoint/Crank-Nicolson)
+plus multiple-shooting grids (every explicit integrator euler..rk5, ≤4
+substeps, via a generic tableau-walking hand forward-mode); minimum_time,
+quadratic_form, or minimum_time_via_points
 objective (incl. integral form, left-sum/trapezoidal integration, hybrid
 min-time weight, optional terminal quadratic cost, optional terminal
 ball, via-point attraction with ordered/unordered stage assignment), all
@@ -42,9 +45,10 @@ four robot models (unicycle, simple_car rear/front-wheel drive, kinematic
 bicycle), ALL five footprints (point/circular/two_circles/line/polygon —
 polygon bounded at 8 vertices), point/circle/line/polygon obstacle slots
 (static or dynamic — constant-velocity prediction at the solve's initial
-dt, hoisted per-cycle exactly like al_sqp._stage_obstacles). The one
-remaining fallback is the non-uniform per-stage-dt grid (its per-stage dt
-widens the Riccati control blocks — XLA path). Parity anchor: BASELINE configs #1-#4 plus the canonical
+dt, hoisted per-cycle exactly like al_sqp._stage_obstacles). The XLA
+path remains only as the exact-match fallback beyond the bounded guards
+(polygon footprints >8 vertices, obstacle polygons >16 padded vertices,
+shooting >4 substeps, budgets >16 iterations) and for non-TPU backends. Parity anchor: BASELINE configs #1-#4 plus the canonical
 carlike two_circles config (examples/cfg/carlike_minimum_time.yaml).
 
 The obstacle geometry hand-transcribes the AD chain of
@@ -111,8 +115,7 @@ def fused_supported(spec) -> bool:
         # per-stage chain (stages x substeps dynamics evals)
         colloc_ok = integ in _RK_TABLEAUS and substeps <= 4
     return (
-        not spec.nonuniform_dt
-        and colloc_ok
+        colloc_ok
         and spec.objective
         in ("minimum_time", "quadratic_form", "minimum_time_via_points")
         and spec.nu == 2
@@ -258,7 +261,7 @@ def _fused_kernel(
     *refs,
     N: int, M: int, mpc: int, ml: int, mg: int, V: int, mv: int,
     model: str, colloc: str, wheelbase: float, bike_lf: float,
-    bike_lr: float, dynamic: bool,
+    bike_lr: float, dynamic: bool, nonu: bool, dt_prox: float,
     via_pw: float, via_ow: float, via_ordered: bool,
     fp_circles, fp_seg, fp_poly,
     lo_u, hi_u, lo_r, hi_r, min_dist: float,
@@ -314,6 +317,9 @@ def _fused_kernel(
      cost_o, eq_o, in_o, cv_o,
      P, pv, Ks, kffs, dxs, dus, bxs, bus, scal) = (next(it) for _ in range(32))
     vks = next(it) if mv else None
+    dts = bdts = dtaus = tv = None
+    if nonu:
+        dts, bdts, dtaus, tv = (next(it) for _ in range(4))
 
     # ---- state init: copy inputs into the output refs (working state) ---- #
     def _cp(t, _):
@@ -332,10 +338,31 @@ def _fused_kernel(
     jax.lax.fori_loop(0, N + 1, _cp, ())
     for i in range(3):
         lt_o[i, 0] = lt_i[i, 0]
-    for i in range(2):
-        md_o[i, 0] = md_i[i, 0]
+    if nonu:
+        def _cpmd(k, _):
+            md_o[k, 0, 0] = md_i[k, 0, 0]
+            md_o[k, 1, 0] = md_i[k, 1, 0]
+            return ()
+
+        jax.lax.fori_loop(0, N, _cpmd, ())
+    else:
+        for i in range(2):
+            md_o[i, 0] = md_i[i, 0]
     mball_o[0, 0] = mball_i[0, 0]
-    scal[0] = dt_i[0, 0]
+    if nonu:
+        # per-stage dt working state + hoisted pose prediction times
+        # t_i = sum_{j<i} dt_j (al_sqp._stage_obstacles nonuniform cumsum,
+        # stop-gradient initial dt)
+        def _cpdt(k, t):
+            dts[k] = dt_i[k, 0]
+            tv[k] = t
+            return t + dt_i[k, 0]
+
+        tN = jax.lax.fori_loop(0, N, _cpdt, zero)
+        tv[N] = tN
+        scal[0] = dt_i[0, 0]  # unused on the non-uniform path
+    else:
+        scal[0] = dt_i[0, 0]
     scal[1] = rho_i[0, 0]
     scal[2] = dt_i[0, 0]
     scal[3] = zero + _F32_MAX
@@ -907,7 +934,7 @@ def _fused_kernel(
             g = tuple(_mul(keep, gi) for gi in g)
         return d, g
 
-    def obs_terms(x, i, dt_pred=None, need_grad=True):
+    def obs_terms(x, i, dt_pred=None, need_grad=True, t_override=None):
         """Per-mu-row obstacle inequality g = min_dist − d and (optionally)
         its pose gradient (∂g/∂x, ∂g/∂y, ∂g/∂θ); masked slots report
         g = min_dist − BIG(±fp radius) with gradients killed downstream by
@@ -925,9 +952,12 @@ def _fused_kernel(
         primal.dt, not the hoisted set. Returns (gs, grads): lists over the
         M mu rows in footprints.distances' concat order [point+circle,
         line, polygon]; grads entries are (gx, gy, gθ) of g (= −∇d)."""
-        if dt_pred is None:
-            dt_pred = dt_i[0, 0]
-        t = dt_pred * i if dynamic else 0.0
+        if t_override is not None:
+            t = t_override if dynamic else 0.0
+        else:
+            if dt_pred is None:
+                dt_pred = dt_i[0, 0]
+            t = dt_pred * i if dynamic else 0.0
         pcs = fps = None
         fppts = fpedges = None
         if fp_poly is not None:
@@ -1154,14 +1184,21 @@ def _fused_kernel(
         """Integration-rule stage weight (trapezoidal regrouping: ½ at k=0)."""
         return jnp.where(k == 0, 0.5, 1.0) if trapezoidal else 1.0
 
-    def stage_cost(xk, uk, dtv, k):
+    def stage_cost(xk, uk, dtv, k, dtp=None):
         """Stage-k objective term (al_sqp._make_stage_fns :: objective —
-        the via attraction is handled trajectory-wide by via_sweep)."""
+        the via attraction is handled trajectory-wide by via_sweep). On the
+        non-uniform grid the trapezoidal stage carries ½(dt_{k-1}+dt_k)·lx_k
+        (dtp = candidate dt_{k-1}; dt_{-1} = 0)."""
         if mt_like:
             return dtv
         x_term, u_term = quad_terms(goal_dx(xk), uk)
         if integral_form:
-            c = _mul(_add(_mul(stage_iw(k), x_term), u_term), dtv)
+            if nonu and trapezoidal:
+                c = _add(
+                    _mul(_mul(0.5, _add(dtp, dtv)), x_term), _mul(u_term, dtv)
+                )
+            else:
+                c = _mul(_add(_mul(stage_iw(k), x_term), u_term), dtv)
         else:
             c = _add(x_term, u_term)
         if hybrid_w > 0.0:
@@ -1197,44 +1234,75 @@ def _fused_kernel(
         def cand_u(k):
             return [us_o[k, i, 0] + alpha * dus[k, i] for i in range(2)]
 
-        def body(k, m):
-            xk = cand_x(k)
-            uk = cand_u(k)
-            xk1 = cand_x(k + 1)
+        def stage_merit_terms(k, m, xk, uk, xk1, up, dtv_k, t_k1, dtp):
+            c, _, _, _, _ = defect(xk, uk, xk1, dtv_k)
+            m = m + phi_sum(c, [ld_o[k, i, 0] for i in range(3)], rho)
+            # obstacle rows: row k of (N, M) belongs to pose x_{k+1};
+            # prediction at the CANDIDATE dt (al_sqp._al_merit evaluates
+            # obstacle_inequalities at the candidate primal.dt; cumulative
+            # time on the non-uniform grid)
+            gs, _ = obs_terms(
+                xk1, k + 1, dt_pred=dtv_k, need_grad=False,
+                t_override=t_k1 if nonu else None,
+            )
+            m = m + psi_sum(gs, [mo_o[k, j, 0] for j in range(M)], rho)
+            m = m + psi_sum(rate_g(uk, up, dtv_k), [mr_o[k, i, 0] for i in range(4)], rho)
+            m = m + psi_sum(box_g(uk), [mb_o[k, i, 0] for i in range(4)], rho)
+            if not mt_like:
+                m = m + stage_cost(xk, uk, dtv_k, k, dtp=dtp)
+            return m
+
+        def cand_up(k):
             km1 = jnp.maximum(k - 1, 0)
-            up = [
+            return [
                 jnp.where(k == 0, u_prev[i, 0], us_o[km1, i, 0]
                           + alpha * dus[km1, i])
                 for i in range(2)
             ]
-            c, _, _, _, _ = defect(xk, uk, xk1, dtv)
-            m = m + phi_sum(c, [ld_o[k, i, 0] for i in range(3)], rho)
-            # obstacle rows: row k of (N, M) belongs to pose x_{k+1};
-            # prediction at the CANDIDATE dt (al_sqp._al_merit evaluates
-            # obstacle_inequalities at the candidate primal.dt)
-            gs, _ = obs_terms(xk1, k + 1, dt_pred=dtv, need_grad=False)
-            m = m + psi_sum(gs, [mo_o[k, j, 0] for j in range(M)], rho)
-            m = m + psi_sum(rate_g(uk, up, dtv), [mr_o[k, i, 0] for i in range(4)], rho)
-            m = m + psi_sum(box_g(uk), [mb_o[k, i, 0] for i in range(4)], rho)
-            if not mt_like:
-                m = m + stage_cost(xk, uk, dtv, k)
-            return m
 
-        m = jax.lax.fori_loop(0, N, body, zero)
-        if mt_like:
-            m = m + float(N) * dtv                  # minimum_time cost
+        if nonu:
+            def body(k, carry):
+                m, tprev, dtp = carry
+                dtv_k = jnp.clip(dts[k] + alpha * dtaus[k], dt_lo, dt_hi)
+                tnext = tprev + dtv_k
+                m = stage_merit_terms(
+                    k, m, cand_x(k), cand_u(k), cand_x(k + 1), cand_up(k),
+                    dtv_k, tnext, dtp,
+                )
+                # per-interval dt box + min-time stage cost live per stage
+                m = m + psi_sum(
+                    [dtv_k - dt_max, dt_min - dtv_k],
+                    [md_o[k, 0, 0], md_o[k, 1, 0]], rho,
+                )
+                if mt_like:
+                    m = m + dtv_k
+                return m, tnext, dtv_k
+
+            m, _tN, dt_last = jax.lax.fori_loop(0, N, body, (zero, zero, zero))
+        else:
+            def body(k, m):
+                return stage_merit_terms(
+                    k, m, cand_x(k), cand_u(k), cand_x(k + 1), cand_up(k),
+                    dtv, None, None,
+                )
+
+            m = jax.lax.fori_loop(0, N, body, zero)
+            dt_last = dtv
+            if mt_like:
+                m = m + float(N) * dtv              # minimum_time cost
         if objective == "minimum_time_via_points":
             # assignment recomputed from the CANDIDATE (funcs.cost semantics)
             m = m + via_sweep(cand_x, want_cost=True)
         xN = cand_x(N)
         te = term_eq(xN)
         m = m + phi_sum(te, [lt_o[i, 0] for i in range(3)], rho)
-        if variable_dt:
+        if variable_dt and not nonu:
             m = m + psi_sum(dt_g(dtv), [md_o[i, 0] for i in range(2)], rho)
         if objective == "quadratic_form" and integral_form and trapezoidal:
             # the ½·dt·lx(x_N) tail of the trapezoidal regrouping
+            # (dt_{N-1} on the non-uniform grid)
             x_term, _ = quad_terms(goal_dx(xN), [0.0, 0.0])
-            m = m + _mul(_mul(0.5, x_term), dtv)
+            m = m + _mul(_mul(0.5, x_term), dt_last)
         if ball_r > 0.0:
             gb, _ = ball_g(xN)
             m = m + psi_sum([gb], [mball_o[0, 0]], rho)
@@ -1245,6 +1313,7 @@ def _fused_kernel(
 
     # ---- Riccati pieces over z = [dx(3), du_prev(2), dtau], v = du(2) ----- #
     na, nu = 6, 2
+    nv = 3 if nonu else 2  # control width: [du] or [du, ddt_k]
 
     def terminal_Pp(rho):
         """PN (6x6) and pN (6) of the terminal stage merit.
@@ -1272,7 +1341,9 @@ def _fused_kernel(
             pmv, Pd = via_rows(xN, N, pmv, Pd)
             pm[0], pm[1], pm[2] = pmv
             Pm[0][0], Pm[1][1], Pm[2][2] = Pd
-        gs, grads = obs_terms(xN, N)
+        gs, grads = obs_terms(
+            xN, N, t_override=tv[N] if nonu else None
+        )
         for j in range(M):
             mu = mo_o[N - 1, j, 0]
             a = jnp.maximum(0.0, mu + rho * gs[j])
@@ -1290,9 +1361,10 @@ def _fused_kernel(
         Pm[2][1] = Pm[1][2]
         if objective == "quadratic_form" and integral_form and trapezoidal:
             # ½·dt·lx(x_N) tail: exact gradient/Hessian incl. the dtau cross
-            # terms (terminal w carries dt in al_sqp._make_terminal_fns)
+            # terms (terminal w carries dt in al_sqp._make_terminal_fns —
+            # dt_{N-1} on the non-uniform grid, which is exactly z[5])
             dxq = goal_dx(xN)
-            dtv0 = scal[0]
+            dtv0 = dts[N - 1] if nonu else scal[0]
             x_term, _ = quad_terms(dxq, [0.0, 0.0])
             pm[5] = _add(pm[5], _mul(0.5, x_term))
             for i in range(3):
@@ -1314,7 +1386,7 @@ def _fused_kernel(
                 Pm[i][i] = _add(Pm[i][i], _mul(2.0 * ball_w[i], ab))
                 for j in range(3):
                     Pm[i][j] = _add(Pm[i][j], _mul(_mul(hwb, gp[i]), gp[j]))
-        if variable_dt:
+        if variable_dt and not nonu:
             dtv = scal[0]
             g1, g2 = dtv - dt_max, dt_min - dtv
             mu1, mu2 = md_o[0, 0], md_o[1, 0]
@@ -1327,28 +1399,37 @@ def _fused_kernel(
         return Pm, pm
 
     def stage_grad_hess(k, rho):
-        """Exact AL gradient (hz 6, hu 2) + hybrid GN Hessian blocks
-        (Hzz 6x6, Hzu 6x2, Huu 2x2) of the stage merit at stage k.
+        """Exact AL gradient (hz 6, hu nv) + hybrid GN Hessian blocks
+        (Hzz 6x6, Hzu 6xnv, Huu nvxnv) of the stage merit at stage k.
+
+        Uniform layout: z = [dx, du_prev, dtau], v = [du]. Non-uniform grid
+        (nonu): z = [dx, du_prev, ddt_prev], v = [du, ddt_k] — the stage dt
+        moves from the shared z[5] slot into the control column v[2]
+        (al_sqp._make_stage_fns nonuniform w-layout).
 
         Stage merit terms: min-time objective (dt), obstacles at x_k
         (inactive at k=0, multiplier row mo[k-1]), rate (u_prev, u, dt),
-        box (u). All constraints are linear except the obstacle distance,
-        whose GN weight is aw = rho*[active] (matches al_sqp's surrogate).
+        box (u), per-stage dt box (nonu only). All constraints are linear
+        except the obstacle distance, whose GN weight is aw = rho*[active]
+        (matches al_sqp's surrogate).
         """
         xk = read_x(k)
         uk = read_u(k)
         up = read_uprev(k)
-        dtv = scal[0]
+        dtv = dts[k] if nonu else scal[0]
         hz = [0.0] * na
-        hu = [0.0] * nu
+        hu = [0.0] * nv
         Hzz = [[0.0] * na for _ in range(na)]
-        Hzu = [[0.0] * nu for _ in range(na)]
-        Huu = [[0.0] * nu for _ in range(nu)]
+        Hzu = [[0.0] * nv for _ in range(na)]
+        Huu = [[0.0] * nv for _ in range(nv)]
 
         # objective stage terms
         if mt_like:
-            # min-time stage cost = dt -> d/dtau = 1
-            hz[5] = _add(hz[5], one)
+            # min-time stage cost = dt_k -> unit gradient on its slot
+            if nonu:
+                hu[2] = _add(hu[2], one)
+            else:
+                hz[5] = _add(hz[5], one)
             if objective == "minimum_time_via_points":
                 hzv = [hz[0], hz[1], hz[2]]
                 Hd = [Hzz[0][0], Hzz[1][1], Hzz[2][2]]
@@ -1357,9 +1438,44 @@ def _fused_kernel(
                 Hzz[0][0], Hzz[1][1], Hzz[2][2] = Hd
         else:
             # quadratic form: exact gradient + exact (PSD diagonal) Hessian,
-            # incl. the x/u-dtau cross rows of the integral form
+            # incl. the x/u-dt cross rows of the integral form
             dxq = goal_dx(xk)
-            if integral_form:
+            if integral_form and nonu:
+                km1n = jnp.maximum(k - 1, 0)
+                dtp = jnp.where(k == 0, 0.0, dts[km1n])
+                x_term, u_term = quad_terms(dxq, uk)
+                if trapezoidal:
+                    # c = ½(dtp+dt)·lx + lu·dt (+ w·dt)
+                    wx = 0.5 * (dtp + dtv)
+                    hz[5] = _add(hz[5], _mul(0.5, x_term))
+                    hu[2] = _add(hu[2], _add(_mul(0.5, x_term), u_term))
+                    for i in range(3):
+                        if q_diag[i] != 0.0:
+                            qi = _mul(2.0 * q_diag[i], dxq[i])
+                            hz[i] = _add(hz[i], qi * wx)
+                            Hzz[i][i] = _add(Hzz[i][i], 2.0 * q_diag[i] * wx)
+                            Hzz[i][5] = _add(Hzz[i][5], _mul(0.5, qi))
+                            Hzz[5][i] = Hzz[i][5]
+                            Hzu[i][2] = _add(Hzu[i][2], _mul(0.5, qi))
+                else:
+                    # c = (lx + lu)·dt
+                    hu[2] = _add(hu[2], _add(x_term, u_term))
+                    for i in range(3):
+                        if q_diag[i] != 0.0:
+                            qi = _mul(2.0 * q_diag[i], dxq[i])
+                            hz[i] = _add(hz[i], qi * dtv)
+                            Hzz[i][i] = _add(Hzz[i][i], 2.0 * q_diag[i] * dtv)
+                            Hzu[i][2] = _add(Hzu[i][2], qi)
+                for j in range(2):
+                    if r_diag[j] != 0.0:
+                        rj = 2.0 * r_diag[j] * uk[j]
+                        hu[j] = _add(hu[j], rj * dtv)
+                        Huu[j][j] = _add(Huu[j][j], 2.0 * r_diag[j] * dtv)
+                        Huu[j][2] = _add(Huu[j][2], rj)
+                        Huu[2][j] = Huu[j][2]
+                if hybrid_w > 0.0:
+                    hu[2] = _add(hu[2], hybrid_w)
+            elif integral_form:
                 iw = stage_iw(k)
                 x_term, u_term = quad_terms(dxq, uk)
                 hz[5] = _add(hz[5], _add(_mul(iw, x_term), u_term))
@@ -1376,6 +1492,8 @@ def _fused_kernel(
                         hu[j] = _add(hu[j], rj * dtv)
                         Huu[j][j] = _add(Huu[j][j], 2.0 * r_diag[j] * dtv)
                         Hzu[5][j] = _add(Hzu[5][j], rj)
+                if hybrid_w > 0.0:
+                    hz[5] = _add(hz[5], hybrid_w)
             else:
                 for i in range(3):
                     if q_diag[i] != 0.0:
@@ -1385,13 +1503,18 @@ def _fused_kernel(
                     if r_diag[j] != 0.0:
                         hu[j] = _add(hu[j], 2.0 * r_diag[j] * uk[j])
                         Huu[j][j] = _add(Huu[j][j], 2.0 * r_diag[j])
-            if hybrid_w > 0.0:
-                hz[5] = _add(hz[5], hybrid_w)
+                if hybrid_w > 0.0:
+                    if nonu:
+                        hu[2] = _add(hu[2], hybrid_w)
+                    else:
+                        hz[5] = _add(hz[5], hybrid_w)
 
         # obstacles at x_k (row k-1; inactive when k == 0)
         on = (k > 0).astype(f32)
         km1 = jnp.maximum(k - 1, 0)
-        gs, grads = obs_terms(xk, k)
+        gs, grads = obs_terms(
+            xk, k, t_override=tv[k] if nonu else None
+        )
         for j in range(M):
             mu = mo_o[km1, j, 0] * on
             a = jnp.maximum(0.0, mu + rho * gs[j]) * on
@@ -1405,8 +1528,9 @@ def _fused_kernel(
         Hzz[2][0] = Hzz[0][2]
         Hzz[2][1] = Hzz[1][2]
 
-        # rate rows: g = +-(du - b dt); J_z over [du_prev, dtau],
-        # J_v over du. Linear -> exact Hessian = rho [active] J J^T.
+        # rate rows: g = +-(du - b dt). Uniform: J_z over [du_prev, dtau],
+        # J_v over du. Non-uniform: the dt column is v[2].
+        # Linear -> exact Hessian = rho [active] J J^T.
         g_r = rate_g(uk, up, dtv)
         for idx, (sgn, comp, b) in enumerate(
             [(1.0, 0, hi_rs[0]), (1.0, 1, hi_rs[1]),
@@ -1415,20 +1539,28 @@ def _fused_kernel(
             mu = mr_o[k, idx, 0]
             a = jnp.maximum(0.0, mu + rho * g_r[idx])
             aw = hinge_w(mu + rho * g_r[idx], rho)
-            # J entries: d g/d u_prev[comp] = -sgn; d g/d tau = -sgn*b;
+            # J entries: d g/d u_prev[comp] = -sgn; d g/d dt = -sgn*b;
             # d g/d u[comp] = +sgn
             jz_up, jz_t, jv = -sgn, -sgn * b, sgn
-            zi, ti = 3 + comp, 5
+            zi = 3 + comp
             hz[zi] = _add(hz[zi], a * jz_up)
-            hz[ti] = _add(hz[ti], a * jz_t)
             hu[comp] = _add(hu[comp], a * jv)
             Hzz[zi][zi] = _add(Hzz[zi][zi], aw * jz_up * jz_up)
-            Hzz[zi][ti] = _add(Hzz[zi][ti], aw * jz_up * jz_t)
-            Hzz[ti][zi] = Hzz[zi][ti]
-            Hzz[ti][ti] = _add(Hzz[ti][ti], aw * jz_t * jz_t)
             Hzu[zi][comp] = _add(Hzu[zi][comp], aw * jz_up * jv)
-            Hzu[ti][comp] = _add(Hzu[ti][comp], aw * jz_t * jv)
             Huu[comp][comp] = _add(Huu[comp][comp], aw * jv * jv)
+            if nonu:
+                hu[2] = _add(hu[2], a * jz_t)
+                Hzu[zi][2] = _add(Hzu[zi][2], aw * jz_up * jz_t)
+                Huu[comp][2] = _add(Huu[comp][2], aw * jv * jz_t)
+                Huu[2][comp] = Huu[comp][2]
+                Huu[2][2] = _add(Huu[2][2], aw * jz_t * jz_t)
+            else:
+                ti = 5
+                hz[ti] = _add(hz[ti], a * jz_t)
+                Hzz[zi][ti] = _add(Hzz[zi][ti], aw * jz_up * jz_t)
+                Hzz[ti][zi] = Hzz[zi][ti]
+                Hzz[ti][ti] = _add(Hzz[ti][ti], aw * jz_t * jz_t)
+                Hzu[ti][comp] = _add(Hzu[ti][comp], aw * jz_t * jv)
 
         # box rows: g = +-(u - b); J_v only.
         g_b = box_g(uk)
@@ -1438,6 +1570,23 @@ def _fused_kernel(
             aw = hinge_w(mu + rho * g_b[idx], rho)
             hu[comp] = _add(hu[comp], a * sgn)
             Huu[comp][comp] = _add(Huu[comp][comp], aw)
+
+        if nonu:
+            # per-interval dt box (constraints.dt box joins the STAGE
+            # inequalities on the non-uniform grid; multipliers md[k])
+            g1, g2 = dtv - dt_max, dt_min - dtv
+            mu1, mu2 = md_o[k, 0, 0], md_o[k, 1, 0]
+            a1 = jnp.maximum(0.0, mu1 + rho * g1)
+            a2 = jnp.maximum(0.0, mu2 + rho * g2)
+            hu[2] = _add(hu[2], a1 - a2)
+            Huu[2][2] = _add(
+                Huu[2][2],
+                hinge_w(mu1 + rho * g1, rho) + hinge_w(mu2 + rho * g2, rho),
+            )
+            if dt_prox > 0.0:
+                # proximal damping of the delta-dt column
+                # (SolverSettings.dt_prox; al_sqp adds it to Huu post-AD)
+                Huu[2][2] = _add(Huu[2][2], dt_prox)
         return hz, hu, Hzz, Hzu, Huu
 
     # ---- the solve -------------------------------------------------------- #
@@ -1463,24 +1612,42 @@ def _fused_kernel(
             def backward(t, _):
                 k = N - 1 - t
                 xk, uk, xk1 = read_x(k), read_u(k), read_x(k + 1)
-                dtv = scal[0]
+                dtv = dts[k] if nonu else scal[0]
                 _c, F, G, mvec, rres = defect(xk, uk, xk1, dtv)
                 mcol = mvec if variable_dt else [0.0, 0.0, 0.0]
                 hz, hu, Hzz, Hzu, Huu = stage_grad_hess(k, rho)
 
-                # augmented transition (structured):
-                #   Fz = [[F,0,m],[0,0,0],[0,0,1]], Gz = [[G],[I],[0]], rz=[r;0]
-                Fz = [
-                    [F[0][0], F[0][1], F[0][2], 0.0, 0.0, mcol[0]],
-                    [F[1][0], F[1][1], F[1][2], 0.0, 0.0, mcol[1]],
-                    [F[2][0], F[2][1], F[2][2], 0.0, 0.0, mcol[2]],
-                    [0.0] * 6, [0.0] * 6,
-                    [0.0, 0.0, 0.0, 0.0, 0.0, 1.0],
-                ]
-                Gz = [
-                    [G[0][0], G[0][1]], [G[1][0], G[1][1]], [G[2][0], G[2][1]],
-                    [1.0, 0.0], [0.0, 1.0], [0.0, 0.0],
-                ]
+                if nonu:
+                    # non-uniform transition (riccati.build_augmented_
+                    # transition_nonuniform): ddt_k is a control column,
+                    # ddt_{k-1} rides in z — Fz = [[F,0,0],[0]],
+                    # Gz = [[G|m],[I3]], rz = [r;0]
+                    Fz = [
+                        [F[0][0], F[0][1], F[0][2], 0.0, 0.0, 0.0],
+                        [F[1][0], F[1][1], F[1][2], 0.0, 0.0, 0.0],
+                        [F[2][0], F[2][1], F[2][2], 0.0, 0.0, 0.0],
+                        [0.0] * 6, [0.0] * 6, [0.0] * 6,
+                    ]
+                    Gz = [
+                        [G[0][0], G[0][1], mcol[0]],
+                        [G[1][0], G[1][1], mcol[1]],
+                        [G[2][0], G[2][1], mcol[2]],
+                        [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0],
+                    ]
+                else:
+                    # augmented transition (structured):
+                    #   Fz = [[F,0,m],[0,0,0],[0,0,1]], Gz = [[G],[I],[0]]
+                    Fz = [
+                        [F[0][0], F[0][1], F[0][2], 0.0, 0.0, mcol[0]],
+                        [F[1][0], F[1][1], F[1][2], 0.0, 0.0, mcol[1]],
+                        [F[2][0], F[2][1], F[2][2], 0.0, 0.0, mcol[2]],
+                        [0.0] * 6, [0.0] * 6,
+                        [0.0, 0.0, 0.0, 0.0, 0.0, 1.0],
+                    ]
+                    Gz = [
+                        [G[0][0], G[0][1]], [G[1][0], G[1][1]], [G[2][0], G[2][1]],
+                        [1.0, 0.0], [0.0, 1.0], [0.0, 0.0],
+                    ]
                 rz = [rres[0], rres[1], rres[2], 0.0, 0.0, 0.0]
 
                 Pm = [[P[i, j] for j in range(na)] for i in range(na)]
@@ -1496,7 +1663,7 @@ def _fused_kernel(
                 ]
                 Qzu = [
                     [_add(Hzu[i][j], _dotl(FT[i], [PG[l][j] for l in range(na)]))
-                     for j in range(nu)]
+                     for j in range(nv)]
                     for i in range(na)
                 ]
                 GT = _mat_T(Gz)
@@ -1507,34 +1674,62 @@ def _fused_kernel(
                                  _dotl(GT[i], [PG[l][j] for l in range(na)])),
                             reg if i == j else 0.0,
                         )
-                        for j in range(nu)
+                        for j in range(nv)
                     ]
-                    for i in range(nu)
+                    for i in range(nv)
                 ]
                 qz = [_add(hz[i], _dotl(FT[i], Prp)) for i in range(na)]
-                qu = [_add(hu[i], _dotl(GT[i], Prp)) for i in range(nu)]
+                qu = [_add(hu[i], _dotl(GT[i], Prp)) for i in range(nv)]
 
-                det = Quu[0][0] * Quu[1][1] - Quu[0][1] * Quu[1][0]
-                inv_det = 1.0 / det
-                Qi = [
-                    [Quu[1][1] * inv_det, -Quu[0][1] * inv_det],
-                    [-Quu[1][0] * inv_det, Quu[0][0] * inv_det],
-                ]
+                if nonu:
+                    # closed-form 3x3 inverse (adjugate / det)
+                    a00, a01, a02 = Quu[0]
+                    a10, a11, a12 = Quu[1]
+                    a20, a21, a22 = Quu[2]
+                    c00 = a11 * a22 - a12 * a21
+                    c01 = a02 * a21 - a01 * a22
+                    c02 = a01 * a12 - a02 * a11
+                    c10 = a12 * a20 - a10 * a22
+                    c11 = a00 * a22 - a02 * a20
+                    c12 = a02 * a10 - a00 * a12
+                    c20 = a10 * a21 - a11 * a20
+                    c21 = a01 * a20 - a00 * a21
+                    c22 = a00 * a11 - a01 * a10
+                    det = a00 * c00 + a01 * c10 + a02 * c20
+                    inv_det = 1.0 / det
+                    Qi = [
+                        [c00 * inv_det, c01 * inv_det, c02 * inv_det],
+                        [c10 * inv_det, c11 * inv_det, c12 * inv_det],
+                        [c20 * inv_det, c21 * inv_det, c22 * inv_det],
+                    ]
+                else:
+                    det = Quu[0][0] * Quu[1][1] - Quu[0][1] * Quu[1][0]
+                    inv_det = 1.0 / det
+                    Qi = [
+                        [Quu[1][1] * inv_det, -Quu[0][1] * inv_det],
+                        [-Quu[1][0] * inv_det, Quu[0][0] * inv_det],
+                    ]
                 Km = [
-                    [-(Qi[i][0] * Qzu[j][0] + Qi[i][1] * Qzu[j][1]) for j in range(na)]
-                    for i in range(nu)
+                    [
+                        -_dotl(Qi[i], [Qzu[j][l] for l in range(nv)])
+                        for j in range(na)
+                    ]
+                    for i in range(nv)
                 ]
-                kf = [-(Qi[i][0] * qu[0] + Qi[i][1] * qu[1]) for i in range(nu)]
+                kf = [-_dotl(Qi[i], qu) for i in range(nv)]
+                # constant-folded entries (the non-uniform Fz has three
+                # all-zero rows) must be materialized before the ref store
+                tile = lambda v: v if not _isc(v) else zero + v  # noqa: E731
                 for i in range(na):
                     for j in range(na):
-                        v = _add(Qzz[i][j], _dotl(Qzu[i], [Km[l][j] for l in range(nu)]))
-                        vT = _add(Qzz[j][i], _dotl(Qzu[j], [Km[l][i] for l in range(nu)]))
-                        P[i, j] = 0.5 * (v + vT)
-                    pv[i] = _add(qz[i], _dotl(Qzu[i], kf))
-                for i in range(nu):
-                    kffs[k, i] = kf[i]
+                        v = _add(Qzz[i][j], _dotl(Qzu[i], [Km[l][j] for l in range(nv)]))
+                        vT = _add(Qzz[j][i], _dotl(Qzu[j], [Km[l][i] for l in range(nv)]))
+                        P[i, j] = tile(_mul(0.5, _add(v, vT)))
+                    pv[i] = tile(_add(qz[i], _dotl(Qzu[i], kf)))
+                for i in range(nv):
+                    kffs[k, i] = tile(kf[i])
                     for j in range(na):
-                        Ks[k, i, j] = Km[i][j]
+                        Ks[k, i, j] = tile(Km[i][j])
                 return ()
 
             if debug_step == 4:
@@ -1573,9 +1768,10 @@ def _fused_kernel(
             jax.lax.fori_loop(0, N, backward, ())
 
             # ---------- initial stage: free dtau --------------------------- #
-            Ptau = P[5, 5] + reg
+            # (uniform shared-dt only; non-uniform ddt_k are stage controls)
             tiny = float(jnp.finfo(jnp.float32).tiny)
-            if variable_dt:
+            if variable_dt and not nonu:
+                Ptau = P[5, 5] + reg
                 dtau = -pv[5] / jnp.maximum(Ptau, tiny)
             else:
                 dtau = zero
@@ -1592,34 +1788,40 @@ def _fused_kernel(
             # ---------- forward rollout ------------------------------------ #
             for i in range(3):
                 dxs[0, i] = zero
-            # z carried in pv (reuse): z = [dx(3), du_prev(2), dtau]
+            # z carried in pv (reuse): z = [dx(3), du_prev(2), dtau/ddt_prev]
             for i in range(5):
                 pv[i] = zero
-            pv[5] = dtau
+            pv[5] = dtau  # 0 on the non-uniform grid (ddt_{-1} = 0)
 
             def forward(k, _):
                 xk, uk, xk1 = read_x(k), read_u(k), read_x(k + 1)
-                dtv = scal[0]
+                dtv = dts[k] if nonu else scal[0]
                 _c, F, G, mvec, rres = defect(xk, uk, xk1, dtv)
                 mcol = mvec if variable_dt else [0.0, 0.0, 0.0]
                 z = [pv[i] for i in range(na)]
                 u = [
                     _add(_dotl([Ks[k, i, j] for j in range(na)], z), kffs[k, i])
-                    for i in range(nu)
+                    for i in range(nv)
                 ]
+                du2 = u[:2]
+                ddt = u[2] if nonu else z[5]
                 xn = [
                     _add(
-                        _add(_dotl(F[i], z[:3]), _dotl(G[i], u)),
-                        _add(_mul(mcol[i], z[5]), rres[i]),
+                        _add(_dotl(F[i], z[:3]), _dotl(G[i], du2)),
+                        _add(_mul(mcol[i], ddt), rres[i]),
                     )
                     for i in range(3)
                 ]
-                for i in range(nu):
+                for i in range(2):
                     dus[k, i] = u[i]
+                if nonu:
+                    dtaus[k] = u[2]
                 for i in range(3):
                     dxs[k + 1, i] = xn[i]
                 pv[0], pv[1], pv[2] = xn[0], xn[1], xn[2]
                 pv[3], pv[4] = u[0], u[1]
+                if nonu:
+                    pv[5] = u[2]
                 return ()
 
             jax.lax.fori_loop(0, N, forward, ())
@@ -1631,6 +1833,8 @@ def _fused_kernel(
                     ok = ok * jnp.isfinite(dxs[k + 1, i]).astype(f32)
                 for i in range(2):
                     ok = ok * jnp.isfinite(dus[k, i]).astype(f32)
+                if nonu:
+                    ok = ok * jnp.isfinite(dtaus[k]).astype(f32)
                 return ok
 
             okf = jax.lax.fori_loop(
@@ -1642,6 +1846,8 @@ def _fused_kernel(
                     dxs[k + 1, i] = dxs[k + 1, i] * okf
                 for i in range(2):
                     dus[k, i] = dus[k, i] * okf
+                if nonu:
+                    dtaus[k] = dtaus[k] * okf
                 return ()
 
             jax.lax.fori_loop(0, N, quarantine, ())
@@ -1666,13 +1872,32 @@ def _fused_kernel(
 
             # ---------- line search ---------------------------------------- #
             dtau = scal[7]
-            cap = jnp.where(
-                jnp.abs(dtau) > 0.0,
-                jnp.minimum(
-                    1.0, dt_trust_frac * scal[0] / jnp.maximum(jnp.abs(dtau), 1e-30)
-                ),
-                1.0,
-            )
+            if nonu:
+                # tightest per-stage trust cap; each stage's scale floored
+                # at dt_ref (al_sqp._sqp_iteration dt_scale note)
+                def capk(k, cmin):
+                    dsc = jnp.maximum(dts[k], dt_ref)
+                    ck = jnp.where(
+                        jnp.abs(dtaus[k]) > 0.0,
+                        jnp.minimum(
+                            1.0,
+                            dt_trust_frac * dsc
+                            / jnp.maximum(jnp.abs(dtaus[k]), 1e-30),
+                        ),
+                        1.0,
+                    )
+                    return jnp.minimum(cmin, ck)
+
+                cap = jax.lax.fori_loop(0, N, capk, one)
+            else:
+                cap = jnp.where(
+                    jnp.abs(dtau) > 0.0,
+                    jnp.minimum(
+                        1.0,
+                        dt_trust_frac * scal[0] / jnp.maximum(jnp.abs(dtau), 1e-30),
+                    ),
+                    1.0,
+                )
             best_m = zero + _F32_MAX
             best_a = zero
             accepted = zero
@@ -1705,7 +1930,14 @@ def _fused_kernel(
                 return ()
 
             jax.lax.fori_loop(0, N + 1, apply, ())
-            scal[0] = jnp.clip(scal[0] + best_a * scal[7], dt_lo, dt_hi)
+            if nonu:
+                def apply_dt(k, _):
+                    dts[k] = jnp.clip(dts[k] + best_a * dtaus[k], dt_lo, dt_hi)
+                    return ()
+
+                jax.lax.fori_loop(0, N, apply_dt, ())
+            else:
+                scal[0] = jnp.clip(scal[0] + best_a * scal[7], dt_lo, dt_hi)
 
             reg = jnp.where(
                 accepted > 0.5,
@@ -1718,18 +1950,27 @@ def _fused_kernel(
         dtv = scal[0]
 
         def dual_body(k, carry):
-            eq_m, in_m = carry
+            if nonu:
+                eq_m, in_m, tprev = carry
+                dtv_k = dts[k]
+                t_k1 = tprev + dtv_k
+            else:
+                eq_m, in_m = carry
+                dtv_k = dtv
+                t_k1 = None
             xk, uk, xk1 = read_x(k), read_u(k), read_x(k + 1)
             up = read_uprev(k)
-            c, _, _, _, _ = defect(xk, uk, xk1, dtv)
+            c, _, _, _, _ = defect(xk, uk, xk1, dtv_k)
             for i in range(3):
                 ld_o[k, i, 0] = ld_o[k, i, 0] + rho * c[i]
                 eq_m = jnp.maximum(eq_m, jnp.abs(c[i]))
-            gs, _ = obs_terms(xk1, k + 1, dt_pred=dtv, need_grad=False)
+            gs, _ = obs_terms(
+                xk1, k + 1, dt_pred=dtv_k, need_grad=False, t_override=t_k1
+            )
             for j in range(M):
                 mo_o[k, j, 0] = jnp.maximum(0.0, mo_o[k, j, 0] + rho * gs[j])
                 in_m = jnp.maximum(in_m, gs[j])
-            g_r = rate_g(uk, up, dtv)
+            g_r = rate_g(uk, up, dtv_k)
             for i in range(4):
                 mr_o[k, i, 0] = jnp.maximum(0.0, mr_o[k, i, 0] + rho * g_r[i])
                 in_m = jnp.maximum(in_m, g_r[i])
@@ -1737,9 +1978,20 @@ def _fused_kernel(
             for i in range(4):
                 mb_o[k, i, 0] = jnp.maximum(0.0, mb_o[k, i, 0] + rho * g_b[i])
                 in_m = jnp.maximum(in_m, g_b[i])
+            if nonu:
+                # per-interval dt box rows (stage-owned on this grid)
+                for i, g in enumerate([dtv_k - dt_max, dt_min - dtv_k]):
+                    md_o[k, i, 0] = jnp.maximum(0.0, md_o[k, i, 0] + rho * g)
+                    in_m = jnp.maximum(in_m, g)
+                return eq_m, in_m, t_k1
             return eq_m, in_m
 
-        eq_m, in_m = jax.lax.fori_loop(0, N, dual_body, (zero, zero))
+        if nonu:
+            eq_m, in_m, _tN = jax.lax.fori_loop(
+                0, N, dual_body, (zero, zero, zero)
+            )
+        else:
+            eq_m, in_m = jax.lax.fori_loop(0, N, dual_body, (zero, zero))
         te = term_eq(read_x(N))
         for i in range(3):
             if xf_fixed[i]:
@@ -1755,11 +2007,12 @@ def _fused_kernel(
             # disabled ball: the XLA path still updates against the inactive
             # −BIG row, which clamps any (pathological) nonzero input to 0
             mball_o[0, 0] = jnp.maximum(0.0, mball_o[0, 0] - rho * _BIG)
-        g_d = dt_g(dtv)
-        for i in range(2):
-            if variable_dt:
-                md_o[i, 0] = jnp.maximum(0.0, md_o[i, 0] + rho * g_d[i])
-            in_m = jnp.maximum(in_m, g_d[i])
+        if not nonu:
+            g_d = dt_g(dtv)
+            for i in range(2):
+                if variable_dt:
+                    md_o[i, 0] = jnp.maximum(0.0, md_o[i, 0] + rho * g_d[i])
+                in_m = jnp.maximum(in_m, g_d[i])
         in_m = jnp.maximum(in_m, 0.0)
 
         viol = jnp.maximum(eq_m, in_m)
@@ -1783,7 +2036,14 @@ def _fused_kernel(
             return ()
 
         jax.lax.fori_loop(0, N + 1, snap, ())
-        scal[2] = jnp.where(okc > 0.5, scal[0], scal[2])
+        if nonu:
+            def snap_dt(k, _):
+                bdts[k] = jnp.where(okc > 0.5, dts[k], bdts[k])
+                return ()
+
+            jax.lax.fori_loop(0, N, snap_dt, ())
+        else:
+            scal[2] = jnp.where(okc > 0.5, scal[0], scal[2])
         scal[3] = jnp.where(okc > 0.5, eq_m, scal[3])
         scal[4] = jnp.where(okc > 0.5, in_m, scal[4])
         scal[5] = jnp.maximum(scal[5], okc)
@@ -1807,27 +2067,49 @@ def _fused_kernel(
         return ()
 
     jax.lax.fori_loop(0, N + 1, sel, ())
-    dt_fin = jnp.where(ub, scal[2], scal[0])
-    dt_o[0, 0] = dt_fin
+    if nonu:
+        # per-stage final dt selection; dt_fin carries Σ dt for the cost
+        def sel_dt(k, acc):
+            dk = jnp.where(ub, bdts[k], dts[k])
+            dts[k] = dk
+            dt_o[k, 0, 0] = dk
+            return acc + dk
+
+        dt_sum = jax.lax.fori_loop(0, N, sel_dt, zero)
+        dt_fin = None
+    else:
+        dt_fin = jnp.where(ub, scal[2], scal[0])
+        dt_o[0, 0] = dt_fin
     rho_o[0, 0] = scal[1]
     eq_o[0, 0] = jnp.where(ub, scal[3], eq_f)
     in_o[0, 0] = jnp.where(ub, scal[4], in_f)
     cv_o[0, 0] = jnp.logical_or(final_ok, scal[5] > 0.5).astype(f32)
     if mt_like:
-        cost = float(N) * dt_fin
+        cost = dt_sum if nonu else float(N) * dt_fin
         if objective == "minimum_time_via_points":
             cost = cost + via_sweep(read_x, want_cost=True)
     else:
         # full quadratic objective at the SELECTED primal (al_sqp evaluates
         # funcs.cost after the best-feasible selection)
-        def cost_body(k, acc):
-            c = stage_cost(read_x(k), read_u(k), dt_fin, k)
-            return acc + (c if not _isc(c) else zero + c)
+        if nonu:
+            def cost_body(k, carry):
+                acc, dtp = carry
+                km1n = jnp.maximum(k - 1, 0)
+                dk = dts[k]
+                c = stage_cost(read_x(k), read_u(k), dk, k, dtp=dtp)
+                return acc + (c if not _isc(c) else zero + c), dk
 
-        cost = jax.lax.fori_loop(0, N, cost_body, zero)
+            cost, dt_last_f = jax.lax.fori_loop(0, N, cost_body, (zero, zero))
+        else:
+            def cost_body(k, acc):
+                c = stage_cost(read_x(k), read_u(k), dt_fin, k)
+                return acc + (c if not _isc(c) else zero + c)
+
+            cost = jax.lax.fori_loop(0, N, cost_body, zero)
+            dt_last_f = dt_fin
         if integral_form and trapezoidal:
             x_term, _ = quad_terms(goal_dx(read_x(N)), [0.0, 0.0])
-            cost = cost + _mul(_mul(0.5, x_term), dt_fin)
+            cost = cost + _mul(_mul(0.5, x_term), dt_last_f)
     if qf is not None:
         xN = read_x(N)
         dxq = [_wrap(xN[i] - xf[i, 0]) for i in range(3)]
@@ -1929,11 +2211,18 @@ def fused_solve(
         om = jnp.zeros((B, 1), bool)
         ovl = jnp.zeros((B, 1, 2), f32)
         mu_obs_in = jnp.zeros((B, N, 1), f32)
-    dt0 = jnp.broadcast_to(jnp.asarray(init.dt, f32), (B,))
+    nonu = bool(spec.nonuniform_dt)
+    if nonu:
+        # per-stage dt: (B, N); mu_dt flat (B, 2N) -> (B, N, 2) stage rows
+        dt_in = jnp.broadcast_to(jnp.asarray(init.dt, f32), (B, N))
+        mu_dt_in = duals.mu_dt.reshape(B, N, 2)
+    else:
+        dt_in = jnp.broadcast_to(jnp.asarray(init.dt, f32), (B,))[:, None]
+        mu_dt_in = duals.mu_dt
 
     # positional input layout (matches the kernel's unpack): base, per-family
     # obstacle arrays (present only for non-empty families), warm duals
-    arrays = [init.xs, init.us, dt0[:, None], scenario.xf, scenario.u_prev]
+    arrays = [init.xs, init.us, dt_in, scenario.xf, scenario.u_prev]
     if mpc:
         arrays += [oc, orr[..., None] * 1.0, om.astype(f32)[..., None] * 1.0, ovl]
     if ml:
@@ -1957,7 +2246,7 @@ def fused_solve(
         ]
     arrays += [
         duals.lam_def, duals.lam_term, mu_obs_in, duals.mu_rate,
-        duals.mu_box, duals.mu_dt, duals.mu_ball, duals.rho[:, None],
+        duals.mu_box, mu_dt_in, duals.mu_ball, duals.rho[:, None],
     ]
     tiled = [_to_tiles(jnp.asarray(a, f32), B) for a in arrays]
     G = tiled[0].shape[-3]
@@ -1992,6 +2281,7 @@ def fused_solve(
         bike_lf=float(getattr(spec.model, "lf", 0.25)),
         bike_lr=float(getattr(spec.model, "lr", 0.25)),
         dynamic=bool(spec.enable_dynamic_obstacles),
+        nonu=nonu, dt_prox=float(settings.dt_prox) if nonu else 0.0,
         fp_circles=fp_circles, fp_seg=fp_seg, fp_poly=fp_poly,
         lo_u=lo_u, hi_u=hi_u, lo_r=lo_r, hi_r=hi_r,
         min_dist=float(spec.min_obstacle_dist),
@@ -2032,9 +2322,11 @@ def fused_solve(
         return jax.ShapeDtypeStruct(lead + (G, SUBLANES, LANES), f32)
 
     out_shapes = [
-        oshape(N + 1, 3), oshape(N, 2), oshape(1),          # xs, us, dt
+        oshape(N + 1, 3), oshape(N, 2),                      # xs, us
+        oshape(N, 1) if nonu else oshape(1),                 # dt
         oshape(N, 3), oshape(3), oshape(N, M),               # lam_def, lam_term, mu_obs
-        oshape(N, 4), oshape(N, 4), oshape(2),               # mu_rate, mu_box, mu_dt
+        oshape(N, 4), oshape(N, 4),                          # mu_rate, mu_box
+        oshape(N, 2) if nonu else oshape(2),                 # mu_dt
         oshape(1), oshape(1),                                # mu_ball, rho
         oshape(1), oshape(1), oshape(1), oshape(1),          # cost, eq, ineq, conv
     ]
@@ -2047,31 +2339,52 @@ def fused_solve(
         scratch_shapes=[
             pltpu.VMEM((6, 6, SUBLANES, LANES), f32),            # P
             pltpu.VMEM((6, SUBLANES, LANES), f32),               # pv / z
-            pltpu.VMEM((N, 2, 6, SUBLANES, LANES), f32),         # K tape
-            pltpu.VMEM((N, 2, SUBLANES, LANES), f32),            # kff tape
+            pltpu.VMEM((N, 3 if nonu else 2, 6, SUBLANES, LANES), f32),  # K tape
+            pltpu.VMEM((N, 3 if nonu else 2, SUBLANES, LANES), f32),     # kff tape
             pltpu.VMEM((N + 1, 3, SUBLANES, LANES), f32),        # dxs
             pltpu.VMEM((N, 2, SUBLANES, LANES), f32),            # dus
             pltpu.VMEM((N + 1, 3, SUBLANES, LANES), f32),        # best xs
             pltpu.VMEM((N, 2, SUBLANES, LANES), f32),            # best us
             pltpu.VMEM((10, SUBLANES, LANES), f32),              # scalars
         ]
-        + ([pltpu.VMEM((mv, SUBLANES, LANES), f32)] if mv else []),  # via ks
+        + ([pltpu.VMEM((mv, SUBLANES, LANES), f32)] if mv else [])   # via ks
+        + (
+            [
+                pltpu.VMEM((N, SUBLANES, LANES), f32),   # dts (working)
+                pltpu.VMEM((N, SUBLANES, LANES), f32),   # best dts
+                pltpu.VMEM((N, SUBLANES, LANES), f32),   # per-stage dtau
+                pltpu.VMEM((N + 1, SUBLANES, LANES), f32),  # hoisted t_i
+            ]
+            if nonu
+            else []
+        ),
         interpret=interpret,
+        # the whole-solve scratch (K tapes + step/snapshot buffers) sits in
+        # scoped VMEM; at SUBLANES=8 the non-uniform variant's wider tapes
+        # cross the default 16 MiB scoped limit — raise it (v5e VMEM is
+        # 128 MiB; the kernel peaks well under 32)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(*tiled)
 
     xs, us, dt, ld, lt, mo, mr, mb, md, mball, rho, cost, eq, ineq, conv = outs
     ft = lambda a: _from_tiles(a, B)  # noqa: E731
     dtype = init.xs.dtype
+    if nonu:
+        dt_out = ft(dt)[..., 0].astype(dtype)               # (B, N)
+        md_out = ft(md).reshape(B, 2 * N).astype(dtype)     # back to flat
+    else:
+        dt_out = ft(dt)[..., 0].astype(dtype)
+        md_out = ft(md).astype(dtype)
     return SolveResult(
         primal=Primal(
             xs=ft(xs).astype(dtype), us=ft(us).astype(dtype),
-            dt=ft(dt)[..., 0].astype(dtype),
+            dt=dt_out,
         ),
         duals=DualState(
             lam_def=ft(ld).astype(dtype), lam_term=ft(lt).astype(dtype),
             mu_obs=ft(mo)[..., : spec.obstacle_cap].astype(dtype),
             mu_rate=ft(mr).astype(dtype),
-            mu_box=ft(mb).astype(dtype), mu_dt=ft(md).astype(dtype),
+            mu_box=ft(mb).astype(dtype), mu_dt=md_out,
             mu_ball=ft(mball).astype(dtype), rho=ft(rho)[..., 0].astype(dtype),
         ),
         cost=ft(cost)[..., 0].astype(dtype),

@@ -55,7 +55,8 @@ def test_flagship_spec_in_scope():
 
 def test_out_of_scope_specs_rejected():
     spec = config3_carlike_min_time(N=8, obstacle_cap=4)
-    assert not fused_supported(dataclasses.replace(spec, nonuniform_dt=True))
+    # the non-uniform per-stage-dt grid joined kernel scope late round 3
+    assert fused_supported(dataclasses.replace(spec, nonuniform_dt=True))
     # all three FD collocation rules AND bounded shooting grids are in scope
     assert fused_supported(
         dataclasses.replace(spec, collocation="midpoint_differences")
@@ -675,3 +676,54 @@ def test_fused_random_inscope_spec_fuzz(seed):
         err_msg=f"spec={spec}",
     )
     assert np.array_equal(np.asarray(out.converged), np.asarray(ref.converged))
+
+
+def test_fused_nonuniform_dt_matches_xla():
+    """Non-uniform per-stage-dt grid through the kernel: ddt_k as a third
+    control column (3x3 Quu inverse), per-interval dt boxes as stage
+    inequalities, cumulative obstacle prediction times, per-stage trust
+    caps — the last transcription family to join kernel scope."""
+    spec, scen, init, duals = _setup(N=8, M=3, batch=12, key=61)
+    spec = dataclasses.replace(spec, nonuniform_dt=True)
+    assert fused_supported(spec)
+    init = initial_primal(spec, scen)
+    # seed a genuinely non-uniform grid so every per-stage-dt code path
+    # (cumulative prediction times, per-stage trust caps, stage dt boxes)
+    # carries distinct values
+    init = dataclasses.replace(
+        init,
+        dt=jnp.broadcast_to(
+            jnp.linspace(0.22, 0.38, spec.N, dtype=jnp.float32), (12, spec.N)
+        ),
+    )
+    duals = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (12,) + a.shape),
+        init_duals(spec, WARM, dtype=jnp.float32),
+    )
+    out, ref = _assert_solve_match(spec, scen, init, duals, atol=WIDE_ATOL,
+                                   dual_atol=0.1, dual_rtol=0.08)
+    assert out.primal.dt.shape == (12, spec.N)
+    # the per-stage dt must actually vary across stages
+    spread = np.asarray(out.primal.dt).max(axis=-1) - np.asarray(out.primal.dt).min(axis=-1)
+    assert spread.max() > 1e-3
+
+
+def test_fused_nonuniform_trapezoidal_quadratic_matches_xla():
+    """Non-uniform grid + trapezoidal integral quadratic objective: the
+    ½(dt_{k-1}+dt_k)·lx_k stage carries the ddt_prev coupling row."""
+    from mpc_local_planner_tpu.benchmarks import config2_diffdrive_obstacles
+
+    spec = dataclasses.replace(
+        config2_diffdrive_obstacles(N=8, obstacle_cap=3),
+        integral_form=True,
+        cost_integration="trapezoidal",
+        hybrid_time_weight=0.4,
+        variable_dt=True,
+        nonuniform_dt=True,
+        dt_min=1e-3,
+        dt_max=0.5,
+    )
+    assert fused_supported(spec)
+    scen, init, duals = _setup_for(spec, batch=10, key=63)
+    _assert_solve_match(spec, scen, init, duals, atol=WIDE_ATOL,
+                        dual_atol=0.1, dual_rtol=0.08)

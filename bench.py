@@ -111,8 +111,6 @@ def serving_mode():
     shape, not a live-costmap control loop (which must dispatch per cycle
     and is measured by BENCH_MODE=latency). Run via BENCH_MODE=serving.
     """
-    import os
-
     import numpy as np
 
     from mpc_local_planner_tpu.benchmarks import config3_carlike_min_time, random_ensemble

@@ -155,6 +155,12 @@ def classify_feasibility(
     )
     from mpc_local_planner_tpu.solvers.golden import solve_golden
 
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "classify_feasibility needs float64 (jax_enable_x64) — without "
+            "it the 'golden' classification silently runs at the same f32 "
+            "precision as the solver under test"
+        )
     funcs = make_ocp_functions(spec)
     B = int(scenario.x0.shape[0])
     n = min(B, max_instances)

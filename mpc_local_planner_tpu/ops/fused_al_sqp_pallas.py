@@ -118,6 +118,9 @@ def fused_supported(spec) -> bool:
         colloc_ok
         and spec.objective
         in ("minimum_time", "quadratic_form", "minimum_time_via_points")
+        # via_sweep unrolls one (N+1)-stage pass per slot per candidate —
+        # bound it like the other program-size guards
+        and spec.via_cap <= 8
         and spec.nu == 2
         and type(spec.model)
         in (
@@ -1099,10 +1102,11 @@ def _fused_kernel(
         ]
 
     def term_eq(xN):
-        return [
-            _mul(1.0 if xf_fixed[i] else 0.0, _wrap(xN[i] - xf[i, 0]))
-            for i in range(3)
-        ]
+        # se2_boxminus semantics: wrap ONLY the theta component — wrapping
+        # the x/y translation would fold a >pi-meter goal error toward zero
+        # and falsely report terminal feasibility (found in round-3 review)
+        d = goal_dx(xN)
+        return [_mul(1.0 if xf_fixed[i] else 0.0, d[i]) for i in range(3)]
 
     def dt_g(dtv):
         if not variable_dt:
@@ -1307,7 +1311,7 @@ def _fused_kernel(
             gb, _ = ball_g(xN)
             m = m + psi_sum([gb], [mball_o[0, 0]], rho)
         if qf is not None:
-            dxq = [_wrap(xN[i] - xf[i, 0]) for i in range(3)]
+            dxq = goal_dx(xN)
             m = m + sum(qf[i] * dxq[i] * dxq[i] for i in range(3))
         return m
 
@@ -1334,7 +1338,7 @@ def _fused_kernel(
             for i in range(3):
                 if qf[i] != 0.0:
                     Pm[i][i] = _add(Pm[i][i], 2.0 * qf[i])
-                    pm[i] = _add(pm[i], 2.0 * qf[i] * _wrap(xN[i] - xf[i, 0]))
+                    pm[i] = _add(pm[i], 2.0 * qf[i] * goal_dx(xN)[i])
         if objective == "minimum_time_via_points":
             pmv = [pm[0], pm[1], pm[2]]
             Pd = [Pm[0][0], Pm[1][1], Pm[2][2]]
@@ -2094,7 +2098,6 @@ def _fused_kernel(
         if nonu:
             def cost_body(k, carry):
                 acc, dtp = carry
-                km1n = jnp.maximum(k - 1, 0)
                 dk = dts[k]
                 c = stage_cost(read_x(k), read_u(k), dk, k, dtp=dtp)
                 return acc + (c if not _isc(c) else zero + c), dk
@@ -2112,7 +2115,7 @@ def _fused_kernel(
             cost = cost + _mul(_mul(0.5, x_term), dt_last_f)
     if qf is not None:
         xN = read_x(N)
-        dxq = [_wrap(xN[i] - xf[i, 0]) for i in range(3)]
+        dxq = goal_dx(xN)
         cost = cost + sum(qf[i] * dxq[i] * dxq[i] for i in range(3))
     cost_o[0, 0] = cost
 

@@ -931,11 +931,12 @@ def solve_single_auto(spec: OcpSpec, settings: SolverSettings):
     duals)`` signature wrapped in ``jax.custom_batching.custom_vmap``: called
     unbatched it runs the XLA path; under scenario vmap on TPU at float32 it
     runs the ENTIRE batched solve through the fused Pallas mega-kernel
-    (ops/fused_al_sqp_pallas — measured 8.9 ms vs 43.4 ms for the XLA warm
-    2x3 cycle at batch 4096, N=30 on v5e, identical convergence flags).
-    Falls back to vmap(solve_single) outside the kernel's guard-checked
-    scope (spec features, obstacle slot types, dtype, backend, or a budget
-    too deep to unroll).
+    (ops/fused_al_sqp_pallas — round-3 flagship: 5.4 ms vs ~45 ms for the
+    XLA warm 3x4 cycle at batch 4096, N=30 on v5e, identical convergence
+    flags; widened families measure 3.9-38x). The kernel covers every spec
+    family; vmap(solve_single) remains the fallback beyond its bounded
+    guards (polygon sizes, shooting substeps, budget depth, dtype,
+    backend).
     """
     from jax.custom_batching import custom_vmap
 

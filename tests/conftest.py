@@ -63,6 +63,7 @@ SLOW_TESTS = {
     "test_fused_random_inscope_spec_fuzz",
     "test_fused_nonuniform_dt_matches_xla",
     "test_fused_nonuniform_trapezoidal_quadratic_matches_xla",
+    "test_fused_far_goal_terminal_residual_not_wrapped",
     # closed loops / grid adaptation
     "test_closed_loop_horizon_shrinks_toward_goal",
     "test_closed_loop_horizon_grows_when_goal_recedes",

@@ -727,3 +727,30 @@ def test_fused_nonuniform_trapezoidal_quadratic_matches_xla():
     scen, init, duals = _setup_for(spec, batch=10, key=63)
     _assert_solve_match(spec, scen, init, duals, atol=WIDE_ATOL,
                         dual_atol=0.1, dual_rtol=0.08)
+
+
+def test_fused_far_goal_terminal_residual_not_wrapped():
+    """Round-3 review fix: the terminal residual must wrap ONLY θ
+    (se2_boxminus). Wrapping x/y folded a >π-meter goal error toward zero,
+    falsely reporting terminal feasibility. Solve with a far goal (x error
+    > π possible mid-solve) and require kernel/XLA agreement plus an honest
+    eq_norm."""
+    spec, scen, init, duals = _setup(N=8, M=0, batch=6, key=71)
+    # warm state aims at the ORIGINAL goal; the goal then jumps 5 m away, so
+    # x_N sits > pi meters from the new goal — the old wrap folded that
+    # terminal error to |5 - 2pi| ~ 1.28 instead of ~5
+    init = initial_primal(spec, scen)
+    scen = dataclasses.replace(
+        scen, xf=scen.xf.at[:, 0].set(scen.xf[:, 0] + 5.0)
+    )
+    S = dataclasses.replace(WARM, n_al=1, n_sqp=1)
+    ref = jax.jit(
+        jax.vmap(lambda s, i, d: solve_single(spec, S, s, i, d))
+    )(scen, init, duals)
+    out = fused_solve(spec, S, scen, init, duals, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out.eq_norm), np.asarray(ref.eq_norm), atol=1e-4, rtol=1e-4
+    )
+    assert np.array_equal(np.asarray(out.converged), np.asarray(ref.converged))
+    # the terminal x-error is ~4-5 m after one step; wrapped it would be ~1.3
+    assert np.asarray(out.eq_norm).min() > 3.0

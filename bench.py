@@ -24,6 +24,17 @@ import jax
 import jax.numpy as jnp
 
 
+def _warm_alphas():
+    """Line-search ladder (BENCH_ALPHAS): 6 candidates is the measured
+    round-3 default — 628k conv/s @ 0.822 vs 8 candidates' 568k @ 0.826."""
+    return tuple(
+        float(a)
+        for a in os.environ.get(
+            "BENCH_ALPHAS", "1.0,0.7,0.5,0.22,0.08,0.03"
+        ).split(",")
+    )
+
+
 def latency_mode():
     """Single-robot warm-solve latency (BASELINE: p99 ≪ 100 ms cycle budget).
 
@@ -52,7 +63,7 @@ def latency_mode():
         n_al=int(os.environ.get("BENCH_NAL", "3")),
         n_sqp=int(os.environ.get("BENCH_NSQP", "4")),
         rho0=120.0, reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3,
-        alphas=(1.0, 0.7, 0.5, 0.35, 0.22, 0.14, 0.08, 0.03),
+        alphas=_warm_alphas(),
     )
     with jax.default_device(jax.devices("cpu")[0]):
         scen = jax.tree_util.tree_map(
@@ -128,7 +139,7 @@ def serving_mode():
         n_al=int(os.environ.get("BENCH_NAL", "3")),
         n_sqp=int(os.environ.get("BENCH_NSQP", "4")),
         rho0=120.0, reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3,
-        alphas=(1.0, 0.7, 0.5, 0.35, 0.22, 0.14, 0.08, 0.03),
+        alphas=_warm_alphas(),
     )
     with jax.default_device(jax.devices("cpu")[0]):
         scen = jax.tree_util.tree_map(
@@ -223,7 +234,7 @@ def fleet_mode():
         n_al=int(os.environ.get("BENCH_NAL", "3")),
         n_sqp=int(os.environ.get("BENCH_NSQP", "4")),
         rho0=120.0, reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3,
-        alphas=(1.0, 0.7, 0.5, 0.35, 0.22, 0.14, 0.08, 0.03),
+        alphas=_warm_alphas(),
     )
     dev = jax.devices()[0]
     cold_solve = jax.jit(jax.vmap(lambda s, i, d: solve_single(spec, cold, s, i, d)))
@@ -348,19 +359,13 @@ def main():
     # meets its own 1e-3 feasibility tolerance); extra carries the
     # cold-oracle feasible fraction and conv_on_feasible (0.928 at 3×4).
     import os
-    alphas = tuple(
-        float(a)
-        for a in os.environ.get(
-            "BENCH_ALPHAS", "1.0,0.7,0.5,0.22,0.08,0.03"
-        ).split(",")
-    )
     warm = SolverSettings(
         n_al=int(os.environ.get("BENCH_NAL", "3")),
         n_sqp=int(os.environ.get("BENCH_NSQP", "4")),
         rho0=float(os.environ.get("BENCH_RHO0", "120.0")),
         rho_growth=float(os.environ.get("BENCH_RHOG", "5.0")),
         reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3,
-        alphas=alphas,
+        alphas=_warm_alphas(),
     )
     batch = int(os.environ.get("BENCH_BATCH", "4096"))
 

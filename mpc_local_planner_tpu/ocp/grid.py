@@ -105,7 +105,20 @@ def primal_from_plan(spec, plan_xy_theta, x0, dt=None) -> Primal:
     return Primal(xs=xs, us=us, dt=dtv)
 
 
-def warm_start_shift(primal: Primal, x0, steps: int = 1, spec=None) -> Primal:
+def _take_stages(a, src):
+    """Per-lane gather along the stage axis.
+
+    a: (..., S) or (..., S, d); src: (..., S') integer indices with the same
+    leading (batch) dims. The per-lane generalization of ``jnp.take(a, src,
+    axis=-2)`` used by the dynamic-``steps`` warm-start paths.
+    """
+    if a.ndim == src.ndim:
+        return jnp.take_along_axis(a, src, axis=-1)
+    idx = jnp.broadcast_to(src[..., None], src.shape + (a.shape[-1],))
+    return jnp.take_along_axis(a, idx, axis=-2)
+
+
+def warm_start_shift(primal: Primal, x0, steps=1, spec=None) -> Primal:
     """Shift the previous solution by ``steps`` stages and re-anchor x_0.
 
     Parity: FullDiscretizationGridBaseSE2 warm start — shift trajectory by the
@@ -114,8 +127,18 @@ def warm_start_shift(primal: Primal, x0, steps: int = 1, spec=None) -> Primal:
     repeated final state leaves an O(dt·f) defect spike at the tail that a
     small warm-start iteration budget then has to burn down.
     Fixed-shape: a roll + masked overwrite of the tail.
+
+    ``steps`` is either a static Python int (shared shift — the single-robot
+    path) or a traced integer array with the primal's batch shape (per-lane
+    shift — the batched elapsed-aware path, where each lane's optimized dt
+    differs so the same wall-clock ``elapsed`` maps to a different stage
+    count per lane). The dynamic path extrapolates a ⌈N/2⌉-step tail once
+    with ``lax.scan`` and gathers from the extended sequence — semantics
+    identical to the static loop (verified element-wise in tests).
     """
     N = primal.n_stages
+    if not isinstance(steps, int):
+        return _warm_start_shift_dynamic(primal, x0, steps, spec)
     k = jnp.arange(N + 1)
     src = jnp.minimum(k + steps, N)
     xs = jnp.take(primal.xs, src, axis=-2)
@@ -137,7 +160,42 @@ def warm_start_shift(primal: Primal, x0, steps: int = 1, spec=None) -> Primal:
     return Primal(xs=xs, us=us, dt=dt)
 
 
-def warm_start_resample(primal: Primal, x0, steps: int = 1, spec=None) -> Primal:
+def _warm_start_shift_dynamic(primal: Primal, x0, steps, spec) -> Primal:
+    """Per-lane traced-``steps`` variant of :func:`warm_start_shift`.
+
+    Builds the length-(N+1+S_max) extended state sequence once (dynamics
+    tail via ``lax.scan``) and gathers position ``k + steps_lane`` from it:
+    for k + steps ≤ N this reads the shifted original state, beyond it the
+    (k + steps − N)-th dynamics extrapolation — exactly the static path's
+    tail loop. Controls/dt clamp-repeat their last stage, as in the static
+    path.
+    """
+    N = primal.n_stages
+    s_max = max(1, N // 2)
+    steps = jnp.clip(jnp.asarray(steps, jnp.int32), 1, s_max)
+    per_stage_dt = primal.dt.ndim == primal.us.ndim - 1
+    u_last = primal.us[..., -1, :]
+    dtb = primal.dt[..., -1, None] if per_stage_dt else primal.dt[..., None]
+    from mpc_local_planner_tpu.core.so2 import se2_boxplus
+
+    def body(x, _):
+        xn = se2_boxplus(x, dtb * spec.model.f(x, u_last)) if spec is not None else x
+        return xn, xn
+
+    _, tail = jax.lax.scan(body, primal.xs[..., -1, :], None, length=s_max)
+    tail = jnp.moveaxis(tail, 0, -2)  # (..., S_max, 3)
+    ext_xs = jnp.concatenate([primal.xs, tail], axis=-2)
+    k = jnp.arange(N + 1)
+    src = jnp.minimum(k + steps[..., None], N + s_max)
+    xs = _take_stages(ext_xs, src)
+    src_u = jnp.minimum(jnp.arange(N) + steps[..., None], N - 1)
+    us = _take_stages(primal.us, src_u)
+    xs = xs.at[..., 0, :].set(x0)
+    dt = _take_stages(primal.dt, src_u) if per_stage_dt else primal.dt
+    return Primal(xs=xs, us=us, dt=dt)
+
+
+def warm_start_resample(primal: Primal, x0, steps=1, spec=None) -> Primal:
     """Warm start for shrinking-horizon (min-time, xf-fixed) problems.
 
     Parity: FiniteDifferencesVariableGridSE2 grid adaptation — after the
@@ -147,8 +205,14 @@ def warm_start_resample(primal: Primal, x0, steps: int = 1, spec=None) -> Primal
     stage short of the terminal equality every cycle), this warm start is
     terminal-feasible by construction. SE(2)-aware interpolation; fixed
     shapes (the reference resizes the grid; we rescale dt instead).
+
+    ``steps``: static Python int, or a traced integer array with the
+    primal's batch shape for per-lane shifts (batched elapsed-aware warm
+    start — see :func:`warm_start_shift`).
     """
     N = primal.n_stages
+    if not isinstance(steps, int):
+        return _warm_start_resample_dynamic(primal, x0, steps, spec)
     dtype = primal.xs.dtype
     pos = steps + jnp.arange(N + 1, dtype=dtype) * (N - steps) / N  # [steps, N]
     i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, N - 1)
@@ -169,6 +233,38 @@ def warm_start_resample(primal: Primal, x0, steps: int = 1, spec=None) -> Primal
     if dt.ndim == primal.us.ndim - 1:  # per-stage dt: resample like us
         dt = jnp.take(dt, iu, axis=-1)
     dt = jnp.maximum(dt * (N - steps) / N, dt_min)
+    return Primal(xs=xs, us=us, dt=dt)
+
+
+def _warm_start_resample_dynamic(primal: Primal, x0, steps, spec) -> Primal:
+    """Per-lane traced-``steps`` variant of :func:`warm_start_resample`.
+
+    Same stretch-over-the-remaining-trajectory semantics, with the resample
+    positions computed per lane and gathered with ``take_along_axis``.
+    """
+    N = primal.n_stages
+    dtype = primal.xs.dtype
+    s_max = max(1, N // 2)
+    steps = jnp.clip(jnp.asarray(steps, jnp.int32), 1, s_max)
+    sf = steps.astype(dtype)[..., None]  # (..., 1) broadcasts over stages
+    pos = sf + jnp.arange(N + 1, dtype=dtype) * (N - sf) / N  # (..., N+1)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, N - 1)
+    frac = (pos - i0.astype(dtype))[..., None]
+    xa = _take_stages(primal.xs, i0)
+    xb = _take_stages(primal.xs, i0 + 1)
+    from mpc_local_planner_tpu.core.so2 import _wrap_theta, se2_boxminus
+
+    xs = _wrap_theta(xa + frac * se2_boxminus(xb, xa))
+    xs = xs.at[..., 0, :].set(x0)
+    pos_u = sf + jnp.arange(N, dtype=dtype) * (N - sf) / N
+    iu = jnp.clip(jnp.round(pos_u).astype(jnp.int32), 0, N - 1)
+    us = _take_stages(primal.us, iu)
+    dt_min = 1e-3 if spec is None else max(spec.dt_min, 1e-3)
+    dt = primal.dt
+    if dt.ndim == primal.us.ndim - 1:  # per-stage dt: resample like us
+        dt = jnp.maximum(_take_stages(dt, iu) * (N - sf) / N, dt_min)
+    else:
+        dt = jnp.maximum(dt * (N - steps.astype(dtype)) / N, dt_min)
     return Primal(xs=xs, us=us, dt=dt)
 
 

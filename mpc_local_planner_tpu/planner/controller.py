@@ -345,7 +345,7 @@ class Controller:
         self,
         scenario: Scenario,
         plan: Optional[jax.Array] = None,
-        shift_steps: int = 1,
+        shift_steps=1,  # int, or per-lane int array in batched mode
         elapsed: Optional[float] = None,
     ) -> ControlResult:
         """One MPC cycle: warm start → solve → extract first control.
@@ -357,14 +357,27 @@ class Controller:
         cycle — the warm-start shift becomes round(elapsed / dt) stages
         (parity: the reference shifts its grid by the elapsed interval; with
         variable-dt min-time grids dt* can be much smaller than the control
-        period, so a fixed 1-stage shift would lag). Unbatched mode only
-        (batched dt varies per scenario; pass shift_steps explicitly there).
+        period, so a fixed 1-stage shift would lag). In batched mode the
+        shift count is computed PER LANE from that lane's own optimized dt
+        (the same wall-clock interval covers a different number of stages on
+        a lane racing at dt_min than on one cruising at dt_ref) and applied
+        with the dynamic take_along_axis warm-start/dual-shift paths.
         """
-        if elapsed is not None and self.batch is None and self._primal is not None:
-            dt_prev = float(jnp.mean(self._primal.dt))  # mean over per-stage dt
-            shift_steps = int(
-                min(max(round(elapsed / max(dt_prev, 1e-6)), 1), self._spec.N // 2)
-            )
+        if elapsed is not None and self._primal is not None:
+            if self.batch is None:
+                dt_prev = float(jnp.mean(self._primal.dt))  # mean over per-stage dt
+                shift_steps = int(
+                    min(max(round(elapsed / max(dt_prev, 1e-6)), 1), self._spec.N // 2)
+                )
+            else:
+                dt_prev = self._primal.dt
+                if self._spec.nonuniform_dt:
+                    dt_prev = jnp.mean(dt_prev, axis=-1)
+                shift_steps = jnp.clip(
+                    jnp.round(elapsed / jnp.maximum(dt_prev, 1e-6)).astype(jnp.int32),
+                    1,
+                    self._spec.N // 2,
+                )
         goal = scenario.xf
         cold = self._needs_reinit(goal)
         if cold:

@@ -140,19 +140,31 @@ class SolveResult:
     converged: jax.Array  # bool per scenario
 
 
-def shift_duals(duals: DualState, settings: SolverSettings, steps: int = 1) -> DualState:
+def shift_duals(duals: DualState, settings: SolverSettings, steps=1) -> DualState:
     """Shift stage-indexed multipliers with the warm-started grid.
 
     Parity role: the dual-side counterpart of the reference's grid warm start.
     Stage multipliers move with their constraints; ρ restarts at rho0 — the
     previous cycle's terminal penalty is far too stiff for a fresh landscape
     (measured: carrying it freezes the warm-start iterations entirely).
-    """
 
-    def roll(a):
-        n = a.shape[-2]
-        src = jnp.minimum(jnp.arange(n) + steps, n - 1)
-        return jnp.take(a, src, axis=-2)
+    ``steps``: static int, or a traced integer array with the duals' batch
+    shape for per-lane shifts (batched elapsed-aware warm start).
+    """
+    if isinstance(steps, int):
+        def roll(a):
+            n = a.shape[-2]
+            src = jnp.minimum(jnp.arange(n) + steps, n - 1)
+            return jnp.take(a, src, axis=-2)
+    else:
+        from mpc_local_planner_tpu.ocp.grid import _take_stages
+
+        steps_arr = jnp.asarray(steps, jnp.int32)
+
+        def roll(a):
+            n = a.shape[-2]
+            src = jnp.minimum(jnp.arange(n) + steps_arr[..., None], n - 1)
+            return _take_stages(a, src)
 
     mu_dt = duals.mu_dt
     if mu_dt.shape[-1] > 2:

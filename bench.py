@@ -249,9 +249,23 @@ def fleet_mode():
         )
     duals0 = jax.device_put(duals0, dev)
 
+    rescue_slots = int(os.environ.get("BENCH_RESCUE", "1024"))
+    if rescue_slots:
+        from mpc_local_planner_tpu.solvers.rescue import make_rescue
+
+        r_set = dc.replace(
+            warm,
+            n_al=int(os.environ.get("BENCH_RESCUE_NAL", "4")),
+            n_sqp=int(os.environ.get("BENCH_RESCUE_NSQP", "4")),
+        )
+        rescue = make_rescue(spec, warm, rescue_slots, rescue_settings=r_set)
+
     def cycle(scen, r):
         ok = r.converged
-        diverged = jnp.logical_or(r.eq_norm > 0.5, r.ineq_viol > 0.5)
+        # NaN-safe divergence test (see main())
+        diverged = jnp.logical_not(
+            jnp.logical_and(r.eq_norm <= 0.5, r.ineq_viol <= 0.5)
+        )
         x0n = jnp.where(ok[:, None], r.primal.xs[:, 1, :], scen.x0)
         scen = dc.replace(scen, x0=x0n)
         sel = lambda m, a, b: jax.tree_util.tree_map(  # noqa: E731
@@ -262,7 +276,10 @@ def fleet_mode():
         dn = sel(ok, shift_duals(r.duals, warm, steps=1), r.duals)
         initn = sel(diverged, initial_primal(spec, scen), initn)
         dn = sel(diverged, duals0, dn)
-        return scen, warm_solve(scen, initn, dn)
+        r2 = warm_solve(scen, initn, dn)
+        if rescue_slots:
+            r2 = rescue(scen, r2)
+        return scen, r2
 
     cycle_jit = jax.jit(cycle)
 
@@ -390,10 +407,30 @@ def main():
     # 0 disables; per-lane rho is a kernel input so this costs nothing.
     rho0_fail = float(os.environ.get("BENCH_RHO0_FAIL", "0"))
 
+    # per-lane budget reallocation (r4, VERDICT missing #1): compact the
+    # unconverged lanes into BENCH_RESCUE slots and re-solve only those with
+    # a deeper continue budget (probe: continue converges 54% of stragglers
+    # at +12 iters, 73% at +24; fresh-restart only 21%). 0 disables.
+    rescue_slots = int(os.environ.get("BENCH_RESCUE", "1024"))
+    if rescue_slots:
+        from mpc_local_planner_tpu.solvers.rescue import make_rescue
+
+        r_set = dc.replace(
+            warm,
+            n_al=int(os.environ.get("BENCH_RESCUE_NAL", "4")),
+            n_sqp=int(os.environ.get("BENCH_RESCUE_NSQP", "4")),
+        )
+        rescue = make_rescue(spec, warm, rescue_slots, rescue_settings=r_set)
+
     def cycle(scen, r):
         """One warm MPC cycle (validated policy: advance/continue/reset)."""
         ok = r.converged
-        diverged = jnp.logical_or(r.eq_norm > 0.5, r.ineq_viol > 0.5)
+        # NaN-safe divergence test (r4 fix: eq_norm can be NaN on blown-up
+        # lanes; `NaN > 0.5` is False, so the old mask silently CONTINUED
+        # them from garbage forever)
+        diverged = jnp.logical_not(
+            jnp.logical_and(r.eq_norm <= 0.5, r.ineq_viol <= 0.5)
+        )
         x0n = jnp.where(ok[:, None], r.primal.xs[:, 1, :], scen.x0)
         scen = dc.replace(scen, x0=x0n)
         sel = lambda m, a, b: jax.tree_util.tree_map(  # noqa: E731
@@ -408,7 +445,10 @@ def main():
             )
         initn = sel(diverged, initial_primal(spec, scen), initn)
         dn = sel(diverged, duals0, dn)
-        return scen, warm_solve(scen, initn, dn)
+        r2 = warm_solve(scen, initn, dn)
+        if rescue_slots:
+            r2 = rescue(scen, r2)
+        return scen, r2
 
     cycle = jax.jit(cycle)
 

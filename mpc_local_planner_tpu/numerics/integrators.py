@@ -71,6 +71,109 @@ def _rk5_fehlberg(f, x, u, dt):
     )
 
 
+# --------------------------------------------------------------------------- #
+# Butcher tableaus (a-matrix rows for stages 2..S, b weights). Single source
+# of truth shared with the fused kernel's generic tableau walker
+# (ops/fused_al_sqp_pallas._RK_TABLEAUS). The euler..rk5 entries are the
+# tableaus of the closed-form steppers above (kept closed-form — they predate
+# the walker and are golden-tested); rk6/rk7 are tableau-driven only.
+# Parity: cbr:numerics/explicit_integrators.h ::
+# IntegratorExplicitRungeKutta{...6,...7} (the reference family's top orders).
+# --------------------------------------------------------------------------- #
+RK_TABLEAUS = {
+    "explicit_euler": ((), (1.0,)),
+    "rk2_midpoint": (((0.5,),), (0.0, 1.0)),
+    "rk2_heun": (((1.0,),), (0.5, 0.5)),
+    "rk3": (((0.5,), (-1.0, 2.0)), (1.0 / 6.0, 4.0 / 6.0, 1.0 / 6.0)),
+    "rk4": (
+        ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0)),
+        (1.0 / 6.0, 2.0 / 6.0, 2.0 / 6.0, 1.0 / 6.0),
+    ),
+    "rk5": (
+        (
+            (1.0 / 4.0,),
+            (3.0 / 32.0, 9.0 / 32.0),
+            (1932.0 / 2197.0, -7200.0 / 2197.0, 7296.0 / 2197.0),
+            (439.0 / 216.0, -8.0, 3680.0 / 513.0, -845.0 / 4104.0),
+            (-8.0 / 27.0, 2.0, -3544.0 / 2565.0, 1859.0 / 4104.0, -11.0 / 40.0),
+        ),
+        (
+            16.0 / 135.0, 0.0, 6656.0 / 12825.0, 28561.0 / 56430.0,
+            -9.0 / 50.0, 2.0 / 55.0,
+        ),
+    ),
+    # Butcher's 7-stage 6th-order method (Butcher 1964). Row sums equal the
+    # c nodes (1/3, 2/3, 1/3, 1/2, 1/2, 1) and Σb = 1 (checked in tests).
+    "rk6": (
+        (
+            (1.0 / 3.0,),
+            (0.0, 2.0 / 3.0),
+            (1.0 / 12.0, 1.0 / 3.0, -1.0 / 12.0),
+            (-1.0 / 16.0, 9.0 / 8.0, -3.0 / 16.0, -3.0 / 8.0),
+            (0.0, 9.0 / 8.0, -3.0 / 8.0, -3.0 / 4.0, 1.0 / 2.0),
+            (9.0 / 44.0, -9.0 / 11.0, 63.0 / 44.0, 18.0 / 11.0, 0.0,
+             -16.0 / 11.0),
+        ),
+        (
+            11.0 / 120.0, 0.0, 27.0 / 40.0, 27.0 / 40.0, -4.0 / 15.0,
+            -4.0 / 15.0, 11.0 / 120.0,
+        ),
+    ),
+    # Fehlberg RK7(8): the 13-stage 7th-order solution weights (the classic
+    # top-order explicit tableau; fixed step, embedded 8th-order row unused).
+    "rk7": (
+        (
+            (2.0 / 27.0,),
+            (1.0 / 36.0, 1.0 / 12.0),
+            (1.0 / 24.0, 0.0, 1.0 / 8.0),
+            (5.0 / 12.0, 0.0, -25.0 / 16.0, 25.0 / 16.0),
+            (1.0 / 20.0, 0.0, 0.0, 1.0 / 4.0, 1.0 / 5.0),
+            (-25.0 / 108.0, 0.0, 0.0, 125.0 / 108.0, -65.0 / 27.0,
+             125.0 / 54.0),
+            (31.0 / 300.0, 0.0, 0.0, 0.0, 61.0 / 225.0, -2.0 / 9.0,
+             13.0 / 900.0),
+            (2.0, 0.0, 0.0, -53.0 / 6.0, 704.0 / 45.0, -107.0 / 9.0,
+             67.0 / 90.0, 3.0),
+            (-91.0 / 108.0, 0.0, 0.0, 23.0 / 108.0, -976.0 / 135.0,
+             311.0 / 54.0, -19.0 / 60.0, 17.0 / 6.0, -1.0 / 12.0),
+            (2383.0 / 4100.0, 0.0, 0.0, -341.0 / 164.0, 4496.0 / 1025.0,
+             -301.0 / 82.0, 2133.0 / 4100.0, 45.0 / 82.0, 45.0 / 164.0,
+             18.0 / 41.0),
+            (3.0 / 205.0, 0.0, 0.0, 0.0, 0.0, -6.0 / 41.0, -3.0 / 205.0,
+             -3.0 / 41.0, 3.0 / 41.0, 6.0 / 41.0, 0.0),
+            (-1777.0 / 4100.0, 0.0, 0.0, -341.0 / 164.0, 4496.0 / 1025.0,
+             -289.0 / 82.0, 2193.0 / 4100.0, 51.0 / 82.0, 33.0 / 164.0,
+             12.0 / 41.0, 0.0, 1.0),
+        ),
+        (
+            41.0 / 840.0, 0.0, 0.0, 0.0, 0.0, 34.0 / 105.0, 9.0 / 35.0,
+            9.0 / 35.0, 9.0 / 280.0, 9.0 / 280.0, 41.0 / 840.0, 0.0, 0.0,
+        ),
+    ),
+}
+
+
+def _from_tableau(name):
+    """Generic explicit-RK stepper from a Butcher tableau (unrolled)."""
+    a_rows, b = RK_TABLEAUS[name]
+
+    def step(f, x, u, dt):
+        ks = [f(x, u)]
+        for row in a_rows:
+            xs = x
+            for aij, kj in zip(row, ks):
+                if aij != 0.0:
+                    xs = xs + dt * aij * kj
+            ks.append(f(xs, u))
+        out = x
+        for bi, ki in zip(b, ks):
+            if bi != 0.0:
+                out = out + dt * bi * ki
+        return out
+
+    return step
+
+
 INTEGRATORS = {
     "explicit_euler": _euler,
     "rk2_midpoint": _rk2_midpoint,
@@ -78,6 +181,8 @@ INTEGRATORS = {
     "rk3": _rk3,
     "rk4": _rk4,
     "rk5": _rk5_fehlberg,
+    "rk6": _from_tableau("rk6"),
+    "rk7": _from_tableau("rk7"),
 }
 
 

@@ -112,8 +112,13 @@ def fused_supported(spec) -> bool:
 
         integ, substeps = _parse_shooting(spec.collocation)
         # every explicit integrator has a kernel tableau; bound the unrolled
-        # per-stage chain (stages x substeps dynamics evals)
-        colloc_ok = integ in _RK_TABLEAUS and substeps <= 4
+        # per-stage chain by its total dynamics-eval count (stages x substeps
+        # — the old substeps<=4 bound allowed rk5's 6x4=24; keep that ceiling
+        # plus rk6 at 7x4=28, which admits rk7 only up to 2 substeps)
+        colloc_ok = (
+            integ in _RK_TABLEAUS
+            and len(_RK_TABLEAUS[integ][1]) * substeps <= 28
+        )
     return (
         colloc_ok
         and spec.objective
@@ -231,30 +236,10 @@ def _wrap(th):
 # Butcher tableaus of numerics/integrators.py's explicit integrators
 # (a-matrix rows for stages 2..S, b weights). The kernel walks these with a
 # hand forward-mode (value + 3x6 tangent) — one mechanism for every
-# shooting integrator instead of per-integrator derivative algebra.
-_RK_TABLEAUS = {
-    "explicit_euler": ((), (1.0,)),
-    "rk2_midpoint": (((0.5,),), (0.0, 1.0)),
-    "rk2_heun": (((1.0,),), (0.5, 0.5)),
-    "rk3": (((0.5,), (-1.0, 2.0)), (1.0 / 6.0, 4.0 / 6.0, 1.0 / 6.0)),
-    "rk4": (
-        ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0)),
-        (1.0 / 6.0, 2.0 / 6.0, 2.0 / 6.0, 1.0 / 6.0),
-    ),
-    "rk5": (
-        (
-            (1.0 / 4.0,),
-            (3.0 / 32.0, 9.0 / 32.0),
-            (1932.0 / 2197.0, -7200.0 / 2197.0, 7296.0 / 2197.0),
-            (439.0 / 216.0, -8.0, 3680.0 / 513.0, -845.0 / 4104.0),
-            (-8.0 / 27.0, 2.0, -3544.0 / 2565.0, 1859.0 / 4104.0, -11.0 / 40.0),
-        ),
-        (
-            16.0 / 135.0, 0.0, 6656.0 / 12825.0, 28561.0 / 56430.0,
-            -9.0 / 50.0, 2.0 / 55.0,
-        ),
-    ),
-}
+# shooting integrator instead of per-integrator derivative algebra. Single
+# source of truth lives in numerics/integrators.py (RK_TABLEAUS) so rk6/rk7
+# added there are automatically in kernel scope.
+from mpc_local_planner_tpu.numerics.integrators import RK_TABLEAUS as _RK_TABLEAUS
 
 
 # --------------------------------------------------------------------------- #

@@ -434,8 +434,11 @@ class Controller:
         self._steps_since_reinit = 0 if cold else self._steps_since_reinit + 1
         self._primal, self._duals = result.primal, result.duals
         self._last_ok = result.converged
-        self._last_diverged = jnp.logical_or(
-            result.eq_norm > 0.5, result.ineq_viol > 0.5
+        # NaN-safe: eq_norm can be NaN on a blown-up lane, and `NaN > 0.5`
+        # is False — written as NOT(both-small) so non-finite lanes reset
+        # next cycle instead of continuing from garbage (r4 fix)
+        self._last_diverged = jnp.logical_not(
+            jnp.logical_and(result.eq_norm <= 0.5, result.ineq_viol <= 0.5)
         )
         self._last_goal = goal
 

@@ -159,7 +159,13 @@ def shift_duals(duals: DualState, settings: SolverSettings, steps=1) -> DualStat
     else:
         from mpc_local_planner_tpu.ocp.grid import _take_stages
 
-        steps_arr = jnp.asarray(steps, jnp.int32)
+        # Clamp exactly like the primal dynamic paths (grid._warm_start_shift_
+        # dynamic / _warm_start_resample_dynamic clip to [1, N//2]) so a lane
+        # whose traced steps is 0 can't shift its primal by 1 stage while its
+        # stage duals shift by 0, misaligning multipliers with constraints
+        # (ADVICE r3, low).
+        n_stages = duals.lam_def.shape[-2]
+        steps_arr = jnp.clip(jnp.asarray(steps, jnp.int32), 1, max(1, n_stages // 2))
 
         def roll(a):
             n = a.shape[-2]

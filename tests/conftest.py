@@ -64,6 +64,7 @@ SLOW_TESTS = {
     "test_fused_nonuniform_dt_matches_xla",
     "test_fused_nonuniform_trapezoidal_quadratic_matches_xla",
     "test_fused_far_goal_terminal_residual_not_wrapped",
+    "test_fused_sublane8_tile_geometry_smoke",
     # closed loops / grid adaptation
     "test_closed_loop_horizon_shrinks_toward_goal",
     "test_closed_loop_horizon_grows_when_goal_recedes",
@@ -75,6 +76,7 @@ SLOW_TESTS = {
     "test_closed_loop_task_mpc_reaches_goal_and_records",
     "test_controller_dispatch_lsq_lm_reaches_goal",
     "test_fleet_warm_cycles_and_per_scenario_goal_reinit",
+    "test_bucketed_ladder_matches_unbucketed_per_bucket",
     "test_mixed_unicycle_and_carlike_fleet",
     # scenario worlds
     "test_scenario_reaches_goal_with_clearance",
@@ -100,6 +102,7 @@ SLOW_TESTS = {
     "test_via_points_attract_trajectory",
     "test_integral_form_and_hybrid_cost",
     "test_shooting_ocp_solves_and_matches_collocation",
+    "test_shooting_rk6_rk7_defect_zero_and_golden_solve",
     "test_shooting_variable_dt_min_time",
     "test_carlike_min_time_ensemble_f32",
     "test_dynamic_converter_feeds_velocity_to_solver",

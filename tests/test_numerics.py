@@ -65,6 +65,56 @@ def test_rk5_high_accuracy():
     np.testing.assert_allclose(np.asarray(x), np.asarray(_exact_arc(0.8)), atol=1e-8)
 
 
+@pytest.mark.parametrize("method,order", [("rk6", 6), ("rk7", 7)])
+def test_high_order_integrator_convergence(method, order):
+    """RK6 (Butcher 7-stage) / RK7 (Fehlberg 13-stage) hit their orders.
+
+    Parity: cbr:numerics/explicit_integrators.h ::
+    IntegratorExplicitRungeKutta{6,7}. Coarse steps keep the error above the
+    f64 noise floor so the observed rate is measurable.
+    """
+    model = UnicycleModel()
+    u = jnp.array([1.0, 1.0])
+    x0 = jnp.zeros(3)
+    T = 1.6
+    errs = []
+    for n in (2, 4):
+        x = x0
+        for _ in range(n):
+            x = integrate(model.f, x, u, T / n, method=method)
+        errs.append(float(jnp.max(jnp.abs(x - _exact_arc(T)))))
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > order - 0.6, (method, rate, errs)
+    # and absolute accuracy at a practical step
+    x = jnp.zeros(3)
+    for _ in range(8):
+        x = integrate(model.f, x, u, 0.1, method=method)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(_exact_arc(0.8)), atol=1e-9)
+
+
+def test_rk_tableaus_consistent():
+    """Every tableau satisfies Σb = 1 and each a-row sums to its c node
+    (consistency conditions; guards typos in the hand-entered tableaus)."""
+    from mpc_local_planner_tpu.numerics.integrators import RK_TABLEAUS
+
+    for name, (a_rows, b) in RK_TABLEAUS.items():
+        assert abs(sum(b) - 1.0) < 1e-12, name
+        assert len(b) == len(a_rows) + 1, name
+        for i, row in enumerate(a_rows):
+            assert len(row) <= i + 1, (name, i)
+    # spot-check the known c nodes of the new high-order tableaus
+    a6, _ = RK_TABLEAUS["rk6"]
+    np.testing.assert_allclose(
+        [sum(r) for r in a6], [1 / 3, 2 / 3, 1 / 3, 1 / 2, 1 / 2, 1], atol=1e-12
+    )
+    a7, _ = RK_TABLEAUS["rk7"]
+    np.testing.assert_allclose(
+        [sum(r) for r in a7],
+        [2 / 27, 1 / 9, 1 / 6, 5 / 12, 1 / 2, 5 / 6, 1 / 6, 2 / 3, 1 / 3, 1, 0, 1],
+        atol=1e-12,
+    )
+
+
 def test_rollout_shape_and_consistency():
     model = UnicycleModel()
     us = jnp.tile(jnp.array([[0.3, 0.1]]), (5, 1))

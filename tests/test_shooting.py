@@ -35,6 +35,48 @@ def test_shooting_defect_zero_on_integrated_trajectory():
     assert float(jnp.max(jnp.abs(d2))) > 1e-4
 
 
+def test_shooting_rk6_rk7_defect_zero_and_golden_solve():
+    """shooting_rk6/rk7 grids (parity: cbr IntegratorExplicitRungeKutta{6,7}
+    under multiple_shooting_grid): defects vanish on an exactly integrated
+    trajectory, and the rk6 shooting OCP solves to the rk4-shooting golden
+    within the (tiny) high-order discretization gap."""
+    model = UnicycleModel()
+    us = jnp.array([[0.4, 0.2], [0.3, -0.1], [0.2, 0.3]])
+    for method in ("rk6", "rk7"):
+        xs = rollout(model.f, jnp.zeros(3), us, 0.25, method=method)
+        d = collocation_defects(model, f"shooting_{method}", xs, us, 0.25)
+        np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-10)
+    mk = lambda colloc: OcpSpec(  # noqa: E731
+        model=UnicycleModel(), footprint=PointFootprint(), N=10,
+        collocation=colloc, objective="quadratic_form",
+        q_diag=(2.0, 2.0, 2.0), r_diag=(1.0, 1.0), qf_diag=(10.0, 10.0, 10.0),
+        dt_ref=0.3, limits=LIMITS,
+    )
+    scen = Scenario.goal_only(
+        x0=jnp.array([0.0, 0.0, 0.0]), xf=jnp.array([1.2, 0.6, 0.0]),
+        dtype=jnp.float64,
+    )
+    settings = SolverSettings(n_al=8, n_sqp=10)
+    results = {}
+    for colloc in ("shooting_rk6", "shooting_rk4"):
+        spec = mk(colloc)
+        init = initial_primal(spec, scen)
+        duals = init_duals(spec, settings, dtype=jnp.float64)
+        r = jax.jit(lambda s, i, d, spec=spec: solve_single(spec, settings, s, i, d))(
+            scen, init, duals
+        )
+        assert bool(r.converged), colloc
+        results[colloc] = r
+    # both integrators are >=4th order at dt=0.3: optima nearly coincide
+    du = np.max(
+        np.abs(
+            np.asarray(results["shooting_rk6"].primal.us)
+            - np.asarray(results["shooting_rk4"].primal.us)
+        )
+    )
+    assert du < 1e-3, du
+
+
 def test_shooting_ocp_solves_and_matches_collocation():
     mk = lambda colloc: OcpSpec(  # noqa: E731
         model=UnicycleModel(), footprint=PointFootprint(), N=20,

@@ -257,6 +257,13 @@ def fleet_mode():
             warm,
             n_al=int(os.environ.get("BENCH_RESCUE_NAL", "4")),
             n_sqp=int(os.environ.get("BENCH_RESCUE_NSQP", "4")),
+            alphas=tuple(
+                float(a)
+                for a in os.environ.get(
+                    "BENCH_RESCUE_ALPHAS",
+                    "1.0,0.7,0.5,0.35,0.22,0.14,0.08,0.03",
+                ).split(",")
+            ),
         )
         rescue = make_rescue(spec, warm, rescue_slots, rescue_settings=r_set)
 
@@ -419,6 +426,13 @@ def main():
             warm,
             n_al=int(os.environ.get("BENCH_RESCUE_NAL", "4")),
             n_sqp=int(os.environ.get("BENCH_RESCUE_NSQP", "4")),
+            alphas=tuple(
+                float(a)
+                for a in os.environ.get(
+                    "BENCH_RESCUE_ALPHAS",
+                    "1.0,0.7,0.5,0.35,0.22,0.14,0.08,0.03",
+                ).split(",")
+            ),
         )
         rescue = make_rescue(spec, warm, rescue_slots, rescue_settings=r_set)
 

@@ -1,0 +1,107 @@
+"""Straggler-rescue pass (solvers/rescue.py): compaction semantics.
+
+Parity: the batched analog of IPOPT running each problem to ITS OWN
+iteration count (cbr:optimization/solver/nlp_solver_ipopt.h ::
+SolverIpopt::solve) — unconverged lanes are compacted and re-solved with a
+deeper continue budget; converged lanes must come through bit-identical.
+"""
+
+import dataclasses as dc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_local_planner_tpu.benchmarks import config3_carlike_min_time, random_ensemble
+from mpc_local_planner_tpu.ocp.grid import initial_primal
+from mpc_local_planner_tpu.solvers.al_sqp import (
+    SolverSettings,
+    init_duals,
+    solve_single,
+)
+from mpc_local_planner_tpu.solvers.rescue import make_rescue
+
+
+def _mixed_result(B=12, seed=2):
+    """A mid-budget cold solve on near goals: deliberately leaves a mix of
+    converged and unconverged lanes (cold min-time needs ~16x15 to converge
+    everything; 6x8 converges about half of this fixture)."""
+    spec = config3_carlike_min_time(N=8, obstacle_cap=0)
+    tiny = SolverSettings.for_spec(spec, n_al=6, n_sqp=8)
+    scen = random_ensemble(spec, B, jax.random.PRNGKey(seed))
+    scen = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a, scen
+    )
+    scen = dc.replace(scen, xf=scen.x0 + 0.4 * (scen.xf - scen.x0))
+    init = initial_primal(spec, scen)
+    duals = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape),
+        init_duals(spec, tiny, dtype=jnp.float32),
+    )
+    r = jax.jit(jax.vmap(lambda s, i, d: solve_single(spec, tiny, s, i, d)))(
+        scen, init, duals
+    )
+    return spec, tiny, scen, r
+
+
+def test_rescue_improves_stragglers_and_preserves_converged():
+    spec, tiny, scen, r = _mixed_result()
+    conv0 = np.asarray(r.converged)
+    assert 0 < conv0.sum() < conv0.size, conv0  # fixture needs a real mix
+
+    deeper = dc.replace(tiny, n_al=10, n_sqp=10)
+    rescue = make_rescue(spec, tiny, slots=8, rescue_settings=deeper)
+    out = jax.jit(rescue)(scen, r)
+    conv1 = np.asarray(out.converged)
+
+    # converged lanes are untouched — bit-identical through the scatter
+    for b in np.nonzero(conv0)[0]:
+        np.testing.assert_array_equal(
+            np.asarray(out.primal.xs[b]), np.asarray(r.primal.xs[b])
+        )
+        assert conv1[b]
+    # rescue never un-converges anything, and (on this easy obstacle-free
+    # fixture) the deeper continue budget converges at least one straggler
+    assert conv1.sum() >= conv0.sum()
+    assert conv1[~conv0].sum() >= 1, (conv0, conv1)
+
+
+def test_rescue_slots_bound_limits_work():
+    spec, tiny, scen, r = _mixed_result()
+    conv0 = np.asarray(r.converged)
+    n_unc = int((~conv0).sum())
+    assert n_unc >= 2
+    # only ONE slot: exactly the first straggler (lane order) may change
+    deeper = dc.replace(tiny, n_al=10, n_sqp=10)
+    rescue = make_rescue(spec, tiny, slots=1, rescue_settings=deeper)
+    out = jax.jit(rescue)(scen, r)
+    first = int(np.nonzero(~conv0)[0][0])
+    for b in range(conv0.size):
+        if b == first:
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(out.primal.xs[b]), np.asarray(r.primal.xs[b])
+        )
+
+
+def test_rescue_restarts_nonfinite_lanes_fresh():
+    spec, tiny, scen, r = _mixed_result()
+    conv0 = np.asarray(r.converged)
+    bad = int(np.nonzero(~conv0)[0][0])
+    # blow up one straggler's iterate the way a diverged solve does: NaN
+    # trajectory AND NaN constraint norms (NaN > thresh is False — the
+    # rescue must catch it via the isfinite guard, not the threshold)
+    r = dc.replace(
+        r,
+        primal=dc.replace(
+            r.primal, xs=r.primal.xs.at[bad].set(jnp.nan)
+        ),
+        eq_norm=r.eq_norm.at[bad].set(jnp.nan),
+    )
+    deeper = dc.replace(tiny, n_al=10, n_sqp=10)
+    rescue = make_rescue(spec, tiny, slots=8, rescue_settings=deeper)
+    out = jax.jit(rescue)(scen, r)
+    # the lane restarted from a fresh init: finite again (continuing from
+    # the NaN iterate would have stayed NaN), with an honest eq_norm
+    assert bool(jnp.all(jnp.isfinite(out.primal.xs[bad])))
+    assert bool(jnp.isfinite(out.eq_norm[bad]))

@@ -116,6 +116,139 @@ def random_ensemble(
     )
 
 
+def family_spec(name: str, N: int = 30) -> OcpSpec:
+    """Widened-family variants of the flagship carlike min-time config.
+
+    Parity anchors: ``canonical_carlike`` is the reference's own flagship
+    (examples/cfg/carlike_minimum_time.yaml — two_circles footprint,
+    `teb_local_planner/robot_footprint_model.h :: TwoCirclesRobotFootprint`);
+    ``converter_lines`` models costmap_converter `CostmapToLinesDBSRANSAC`
+    output (line obstacle slots); ``via_points`` is
+    `min_time_via_points_cost.h :: MinTimeViaPointsCost`; ``nonuniform`` is
+    the non-uniform variable grid. Used by bench.py's families mode for the
+    per-family oracle decomposition (round 4).
+    """
+    import dataclasses as _dc
+
+    from mpc_local_planner_tpu.geometry.footprints import (
+        PolygonFootprint,
+        TwoCirclesFootprint,
+    )
+
+    base = config3_carlike_min_time(N=N, obstacle_cap=8)
+    if name == "flagship":
+        return base
+    if name == "canonical_carlike":
+        return _dc.replace(
+            base,
+            footprint=TwoCirclesFootprint(
+                front_offset=0.15, front_radius=0.2,
+                rear_offset=-0.15, rear_radius=0.2,
+            ),
+        )
+    if name == "converter_lines":
+        return _dc.replace(base, obstacle_cap=6)  # slots filled with lines
+    if name == "via_points":
+        return _dc.replace(
+            base, objective="minimum_time_via_points", via_cap=4,
+            via_position_weight=2.0,
+        )
+    if name == "polygon_footprint":
+        return _dc.replace(
+            base,
+            footprint=PolygonFootprint(
+                vertices=jnp.asarray(
+                    [[0.25, 0.15], [-0.25, 0.15], [-0.25, -0.15], [0.25, -0.15]]
+                )
+            ),
+        )
+    if name == "nonuniform":
+        return _dc.replace(base, nonuniform_dt=True)
+    raise ValueError(f"unknown family {name!r}")
+
+
+def family_ensemble(name: str, spec: OcpSpec, batch: int, key: jax.Array,
+                    dtype=jnp.float32) -> Scenario:
+    """Scenario ensemble for a widened family.
+
+    ``converter_lines`` replaces the circle slots with wall segments
+    (endpoints along the corridor, kept clear of start/goal like the circle
+    sampler). ``via_points`` adds corridor via points: points ON the path
+    corridor with a small lateral offset — the reference extracts its via
+    points from the global plan every `global_plan_viapoint_sep` meters
+    (`updateViaPointsContainer`), so corridor points are the faithful
+    semantics (round 3 used adversarial random vias that fight the fixed
+    terminal state; those measure robustness, not the reference workload).
+    """
+    import dataclasses as _dc
+
+    scen = random_ensemble(spec, batch, key, dtype=dtype)
+    if name == "converter_lines":
+        M = spec.obstacle_cap
+        kf, kl, ka, kh = jax.random.split(jax.random.fold_in(key, 1), 4)
+        ang = jnp.arctan2(
+            scen.xf[:, 1] - scen.x0[:, 1], scen.xf[:, 0] - scen.x0[:, 0]
+        )
+        dist = jnp.linalg.norm(scen.xf[:, :2] - scen.x0[:, :2], axis=-1)
+        heading = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+        normal = jnp.stack([-jnp.sin(ang), jnp.cos(ang)], axis=-1)
+        frac = jax.random.uniform(kf, (batch, M), minval=0.25, maxval=0.75)
+        lateral = jax.random.uniform(kl, (batch, M), minval=-1.0, maxval=1.0)
+        wall_ang = jax.random.uniform(ka, (batch, M), minval=-0.5, maxval=0.5)
+        half = 0.4
+        mid = (
+            frac[..., None] * dist[:, None, None] * heading[:, None, :]
+            + lateral[..., None] * normal[:, None, :]
+        )
+        wdir = (
+            jnp.cos(wall_ang)[..., None] * normal[:, None, :]
+            + jnp.sin(wall_ang)[..., None] * heading[:, None, :]
+        )
+        ends = jnp.stack([mid - half * wdir, mid + half * wdir], axis=-2)
+        mask = jnp.abs(lateral) > 0.45
+        obstacles = _dc.replace(
+            scen.obstacles,
+            circles=jnp.zeros((batch, 0, 2), dtype),
+            circle_radii=jnp.zeros((batch, 0), dtype),
+            circle_vels=jnp.zeros((batch, 0, 2), dtype),
+            circle_mask=jnp.zeros((batch, 0), bool),
+            lines=ends.astype(dtype),
+            line_vels=jnp.zeros((batch, M, 2), dtype),
+            line_mask=mask,
+        )
+        scen = _dc.replace(scen, obstacles=obstacles)
+    if name == "via_points" and spec.via_cap:
+        V = spec.via_cap
+        kv, kw = jax.random.split(jax.random.fold_in(key, 2))
+        ang = jnp.arctan2(
+            scen.xf[:, 1] - scen.x0[:, 1], scen.xf[:, 0] - scen.x0[:, 0]
+        )
+        dist = jnp.linalg.norm(scen.xf[:, :2] - scen.x0[:, :2], axis=-1)
+        heading = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+        normal = jnp.stack([-jnp.sin(ang), jnp.cos(ang)], axis=-1)
+        frac = jnp.linspace(0.2, 0.8, V)[None, :]  # ordered along the plan
+        lateral = jax.random.uniform(kw, (batch, V), minval=-0.3, maxval=0.3)
+        pts = (
+            frac[..., None] * dist[:, None, None] * heading[:, None, :]
+            + lateral[..., None] * normal[:, None, :]
+        )
+        via = jnp.concatenate(
+            [pts, jnp.broadcast_to(ang[:, None, None], (batch, V, 1))], axis=-1
+        )
+        scen = _dc.replace(
+            scen,
+            via_points=via.astype(dtype),
+            via_mask=jnp.ones((batch, V), bool),
+        )
+    return scen
+
+
+FAMILY_NAMES = (
+    "flagship", "canonical_carlike", "converter_lines", "via_points",
+    "polygon_footprint", "nonuniform",
+)
+
+
 def classify_feasibility(
     spec,
     scenario,

@@ -96,6 +96,17 @@ class SolverSettings:
     # Only consulted by solve_single_auto / make_solver — calling
     # solve_single directly always runs the XLA path.
     fused: str = "auto"
+    # converge-or-budget-exhausted outer loop (parity: the reference's
+    # `solver.ipopt.max_cpu_time`/`max_iter` budget-per-cycle semantics —
+    # IPOPT stops when converged, not after a fixed schedule). With True the
+    # AL phase scan becomes a while_loop that exits as soon as the phase-end
+    # iterate is feasible to tolerance, so n_al is a CAP, not a fixed cost.
+    # Meant for the batch-1/serving path; under vmap the loop runs until
+    # every lane converges (batched while semantics), so large fleets should
+    # keep the fixed schedule + rescue pass instead. XLA path only (the
+    # fused kernel unrolls its schedule, so solve_single_auto will not
+    # dispatch fused when this is set).
+    early_exit: bool = False
 
     @staticmethod
     def for_spec(spec, **overrides) -> "SolverSettings":
@@ -914,12 +925,32 @@ def _solve_single_impl(
 
     inf = jnp.asarray(jnp.inf, dtype)
     best0 = (init, inf, inf, jnp.asarray(False))
-    (primal, duals, _, best, (eq_norm, viol)), _ = jax.lax.scan(
-        al_body,
-        (init, duals, inf, best0, (inf, inf)),
-        None,
-        length=settings.n_al,
-    )
+    carry0 = (init, duals, inf, best0, (inf, inf))
+    if settings.early_exit:
+        # converge-or-budget-exhausted: stop as soon as the phase-end
+        # iterate is feasible (parity: ipopt max_iter semantics — see
+        # SolverSettings.early_exit). Unbatched condition is scalar; under
+        # vmap JAX runs the loop until every lane's condition is false.
+        def cond(state):
+            k, carry = state
+            eq_n, in_n = carry[4]
+            ok = jnp.logical_and(
+                eq_n < settings.tol_eq, in_n < settings.tol_ineq
+            )
+            return jnp.logical_and(k < settings.n_al, jnp.logical_not(ok))
+
+        def body(state):
+            k, carry = state
+            carry, _ = al_body(carry, None)
+            return k + 1, carry
+
+        _, (primal, duals, _, best, (eq_norm, viol)) = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), carry0)
+        )
+    else:
+        (primal, duals, _, best, (eq_norm, viol)), _ = jax.lax.scan(
+            al_body, carry0, None, length=settings.n_al
+        )
 
     # the final primal IS the last phase-end iterate, whose constraint norms
     # the last dual update already computed — no extra evaluation needed.
@@ -990,6 +1021,9 @@ def solve_single_auto(spec: OcpSpec, settings: SolverSettings):
             # the kernel unrolls the n_al x n_sqp schedule; cold budgets
             # (hundreds of iterations) would blow up the program size
             and settings.n_al * settings.n_sqp <= 16
+            # early_exit is a while_loop budget — the kernel's schedule is
+            # unrolled, so it cannot honor it
+            and not settings.early_exit
         )
         if use_fused:
             out = fused_solve(spec, settings, scenario, init, duals)

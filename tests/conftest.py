@@ -65,6 +65,8 @@ SLOW_TESTS = {
     "test_fused_nonuniform_trapezoidal_quadratic_matches_xla",
     "test_fused_far_goal_terminal_residual_not_wrapped",
     "test_fused_sublane8_tile_geometry_smoke",
+    "test_min_time_floor_objective_binds_not_switch_stages",
+    "test_quadratic_warm_floor_within_1e2",
     # closed loops / grid adaptation
     "test_closed_loop_horizon_shrinks_toward_goal",
     "test_closed_loop_horizon_grows_when_goal_recedes",

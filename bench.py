@@ -25,13 +25,15 @@ import jax.numpy as jnp
 
 
 def _warm_alphas():
-    """Line-search ladder (BENCH_ALPHAS): 6 candidates is the measured
-    round-3 default — 628k conv/s @ 0.822 vs 8 candidates' 568k @ 0.826."""
+    """Line-search ladder (BENCH_ALPHAS): 3 candidates is the r4 default.
+    With executed-control feedback (r4 workload fix) the fleet-scan A/B
+    measures 3 candidates at equal-or-better conv than 6 (0.862 vs 0.858)
+    and ladder size is TIME-neutral within the tunnel's measurement floor
+    (mins 80.2 vs 81.1 ms/round; BENCH_NOTES r4 perf-levers section) — so
+    the smaller ladder ships for the conv margin, not a latency claim."""
     return tuple(
         float(a)
-        for a in os.environ.get(
-            "BENCH_ALPHAS", "1.0,0.7,0.5,0.22,0.08,0.03"
-        ).split(",")
+        for a in os.environ.get("BENCH_ALPHAS", "1.0,0.5,0.22").split(",")
     )
 
 

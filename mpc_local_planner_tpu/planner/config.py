@@ -249,6 +249,20 @@ class SolverNs:
     # budget above applies on (re)initialization only
     warm_iterations: int = 0
     warm_inner_iterations: int = 0
+    # converge-or-budget-exhausted outer loop (parity: ipopt.max_cpu_time /
+    # max_iter — stop when converged, the budget is a CAP). Recommended for
+    # unbatched/serving controllers; batched fleets should prefer the
+    # rescue pass below (the fused kernel unrolls its schedule and falls
+    # back to the XLA path under early_exit).
+    early_exit: bool = False
+    # straggler rescue (r4, batched controllers only): after the fixed-
+    # budget solve, compact the unconverged lanes into `rescue_slots` and
+    # re-solve only those with a deeper continue budget (solvers/rescue.py;
+    # measured conv_on_feasible 0.924 → 0.98 at ~25% cycle cost on the
+    # flagship fleet). 0 disables. rescue_iterations default 4x4.
+    rescue_slots: int = 0
+    rescue_iterations: int = 0
+    rescue_inner_iterations: int = 0
 
     def settings(self, spec: OcpSpec) -> SolverSettings:
         over: Dict[str, Any] = {}
@@ -264,7 +278,22 @@ class SolverNs:
             over["tol_eq"] = self.tol_eq
         if self.tol_ineq > 0:
             over["tol_ineq"] = self.tol_ineq
+        if self.early_exit:
+            over["early_exit"] = True
         return SolverSettings.for_spec(spec, **over)
+
+    def rescue_settings(self, base: SolverSettings) -> SolverSettings:
+        """Deeper continue budget for the straggler rescue pass."""
+        import dataclasses as _dc
+
+        return _dc.replace(
+            base,
+            n_al=self.rescue_iterations or 4,
+            n_sqp=self.rescue_inner_iterations or 4,
+            # the straggler batch is small — the wider ladder is conv-
+            # critical there (BENCH_NOTES r4)
+            alphas=(1.0, 0.7, 0.5, 0.35, 0.22, 0.14, 0.08, 0.03),
+        )
 
     def warm_settings(self, spec: OcpSpec) -> SolverSettings:
         """Per-cycle budget once a warm start exists.
@@ -305,6 +334,7 @@ class SolverNs:
             base,
             n_al=self.warm_iterations or 2,
             n_sqp=self.warm_inner_iterations or 4,
+            early_exit=self.early_exit,
             # warm-restart penalty: ρ restarts at this level every cycle
             # (shift_duals). Measured frontier on the carlike min-time fleet
             # (batch 4096, 2×3 budget): conv 0.62 @ ρ₀=50 → 0.74 @ ρ₀=120-150

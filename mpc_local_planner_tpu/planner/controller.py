@@ -153,7 +153,27 @@ class Controller:
                 # fused whole-solve Pallas kernel engages when in scope
                 from mpc_local_planner_tpu.solvers.al_sqp import solve_single_auto
 
-                fn = jax.jit(jax.vmap(solve_single_auto(spec, settings)))
+                base = jax.vmap(solve_single_auto(spec, settings))
+                slots = min(self.config.solver.rescue_slots, self.batch)
+                if slots > 0:
+                    # straggler rescue (solver.rescue_slots): compact the
+                    # unconverged lanes and re-solve only those with the
+                    # deeper continue budget (solvers/rescue.py)
+                    from mpc_local_planner_tpu.solvers.rescue import make_rescue
+
+                    rescue = make_rescue(
+                        spec, settings, slots,
+                        rescue_settings=self.config.solver.rescue_settings(
+                            settings
+                        ),
+                    )
+
+                    def _solve_r(scenario, init, duals):
+                        return rescue(scenario, base(scenario, init, duals))
+
+                    fn = jax.jit(_solve_r)
+                else:
+                    fn = jax.jit(base)
             else:
                 def _solve(scenario, init, duals):
                     return solve_one(spec, settings, scenario, init, duals)

@@ -54,11 +54,25 @@ def shard_batch(tree, mesh: Mesh):
     return jax.tree_util.tree_map(put, tree)
 
 
-def make_sharded_solver(spec, settings: Optional[SolverSettings] = None, mesh: Optional[Mesh] = None):
+def make_sharded_solver(
+    spec,
+    settings: Optional[SolverSettings] = None,
+    mesh: Optional[Mesh] = None,
+    rescue_slots: int = 0,
+    rescue_settings: Optional[SolverSettings] = None,
+):
     """Jitted batched solver with scenario sharding constrained to the mesh.
 
     The solve itself is vmapped (scenarios → lanes); XLA partitions the batch
     across devices from the input shardings — no collectives in the solve.
+
+    rescue_slots > 0 adds the straggler rescue (solvers/rescue.py) PER
+    SHARD: each device compacts and re-solves its own unconverged lanes
+    locally (slots is the per-device sub-batch), so the rescue stays
+    collective-free — compaction indices never cross device boundaries.
+    The sharded path then runs through shard_map (the per-shard batch
+    shape must be concrete for the compaction), the unsharded path through
+    plain jit.
     """
     settings = settings or SolverSettings.for_spec(spec)
     # auto wrapper: each device's shard runs the fused whole-solve Pallas
@@ -66,12 +80,36 @@ def make_sharded_solver(spec, settings: Optional[SolverSettings] = None, mesh: O
     from mpc_local_planner_tpu.solvers.al_sqp import solve_single_auto
 
     _solve_one = solve_single_auto(spec, settings)
+    rescue = None
+    if rescue_slots > 0:
+        from mpc_local_planner_tpu.solvers.rescue import make_rescue
+
+        rescue = make_rescue(
+            spec, settings, rescue_slots, rescue_settings=rescue_settings
+        )
 
     def solve(scenario, init, duals):
-        return jax.vmap(_solve_one)(scenario, init, duals)
+        out = jax.vmap(_solve_one)(scenario, init, duals)
+        if rescue is not None:
+            out = rescue(scenario, out)
+        return out
 
     if mesh is None:
         return jax.jit(solve)
+
+    if rescue is not None:
+        # per-shard rescue: shard_map gives the local block, inside which
+        # the compaction is ordinary local indexing
+        pspec = batch_spec()
+        sharded = jax.shard_map(
+            solve, mesh=mesh, in_specs=(pspec, pspec, pspec), out_specs=pspec,
+            # the solver's scan carries mix shard-derived values with
+            # replicated constants (reg0, inf sentinels); the VMA checker
+            # rejects that mix even though the computation is purely
+            # data-parallel — disable it (no collectives inside)
+            check_vma=False,
+        )
+        return jax.jit(sharded)
 
     def constrained(scenario, init, duals):
         out = solve(scenario, init, duals)

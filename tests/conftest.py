@@ -114,6 +114,7 @@ SLOW_TESTS = {
     # infra-heavy
     "test_two_process_cpu_cluster",
     "test_sharded_solve_matches_unsharded",
+    "test_sharded_per_shard_rescue_matches_manual_blocks",
     "test_xla_trace_writes_profile",
     "test_profile_solver_phases_returns_positive_times",
     "test_convergence_report_counters",

@@ -105,3 +105,37 @@ def test_rescue_restarts_nonfinite_lanes_fresh():
     # the NaN iterate would have stayed NaN), with an honest eq_norm
     assert bool(jnp.all(jnp.isfinite(out.primal.xs[bad])))
     assert bool(jnp.isfinite(out.eq_norm[bad]))
+
+
+def test_compaction_permutation_properties():
+    """The cumsum-based compaction used by the rescue is a stable
+    permutation: stragglers first (in lane order), converged lanes after
+    (in lane order), bijective — for every conv-mask shape (hand-rolled,
+    so property-tested against numpy argsort)."""
+    rng = np.random.default_rng(0)
+    for trial in range(50):
+        B = int(rng.integers(1, 40))
+        conv = rng.random(B) < rng.random()
+        unconv = ~conv
+        ui = unconv.astype(np.int32)
+        n_unc = ui.sum()
+        pos = np.where(unconv, np.cumsum(ui) - 1, n_unc + np.cumsum(1 - ui) - 1)
+        order = np.zeros(B, np.int32)
+        order[pos] = np.arange(B, dtype=np.int32)
+        # bijection
+        assert sorted(order.tolist()) == list(range(B))
+        # equals the stable argsort of the converged flag
+        ref = np.argsort(conv, kind="stable")
+        np.testing.assert_array_equal(order, ref)
+        # jax version agrees elementwise
+        unconv_j = jnp.asarray(unconv)
+        ui_j = unconv_j.astype(jnp.int32)
+        pos_j = jnp.where(
+            unconv_j,
+            jnp.cumsum(ui_j) - 1,
+            jnp.sum(ui_j) + jnp.cumsum(1 - ui_j) - 1,
+        )
+        order_j = jnp.zeros((B,), jnp.int32).at[pos_j].set(
+            jnp.arange(B, dtype=jnp.int32)
+        )
+        np.testing.assert_array_equal(np.asarray(order_j), ref)

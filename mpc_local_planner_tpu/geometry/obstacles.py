@@ -109,6 +109,46 @@ class ObstacleSet:
             self,
         )
 
+    def total_slots(self) -> int:
+        """Static number of padded obstacle slots across all four families."""
+        return (
+            self.points.shape[-2]
+            + self.circles.shape[-2]
+            + self.lines.shape[-3]
+            + self.polygons.shape[-3]
+        )
+
+    def padded_to(self, target_total: int) -> "ObstacleSet":
+        """Pad with inactive POINT slots until ``total_slots() == target``.
+
+        Parity: the reference's obstacle container holds any number of
+        obstacles up to whatever the cycle provides; our shapes are static,
+        so a scenario built with fewer slots than ``spec.obstacle_cap``
+        (e.g. ``Scenario.goal_only`` under an obstacle-enabled config) is
+        topped up with masked dummy slots. Raises if over capacity.
+        """
+        cur = self.total_slots()
+        if cur == target_total:
+            return self
+        if cur > target_total:
+            raise ValueError(
+                f"scenario has {cur} obstacle slots but the spec's "
+                f"obstacle_cap is {target_total}; raise "
+                "collision.obstacle_capacity or trim the obstacle set"
+            )
+        extra = target_total - cur
+        batch = self.points.shape[:-2]
+        dtype = self.points.dtype
+        zp = jnp.zeros(batch + (extra, 2), dtype)
+        return dataclasses.replace(
+            self,
+            points=jnp.concatenate([self.points, zp], axis=-2),
+            point_vels=jnp.concatenate([self.point_vels, zp], axis=-2),
+            point_mask=jnp.concatenate(
+                [self.point_mask, jnp.zeros(batch + (extra,), bool)], axis=-1
+            ),
+        )
+
     # ------------------------------------------------------------------ #
     @staticmethod
     def empty(

@@ -398,6 +398,40 @@ class Controller:
                     1,
                     self._spec.N // 2,
                 )
+        # pad under-provisioned obstacle/via slots up to the spec's static
+        # capacities (reference parity: containers hold up to capacity —
+        # e.g. Scenario.goal_only under an obstacle-enabled config would
+        # otherwise shape-mismatch the compiled solve); over-capacity raises
+        if scenario.obstacles.total_slots() != self._spec.obstacle_cap:
+            scenario = dataclasses.replace(
+                scenario,
+                obstacles=scenario.obstacles.padded_to(self._spec.obstacle_cap),
+            )
+        if scenario.via_points.shape[-2] != self._spec.via_cap:
+            have = scenario.via_points.shape[-2]
+            if have > self._spec.via_cap:
+                raise ValueError(
+                    f"scenario has {have} via slots but the spec's via_cap "
+                    f"is {self._spec.via_cap}"
+                )
+            batch = scenario.via_points.shape[:-2]
+            extra = self._spec.via_cap - have
+            scenario = dataclasses.replace(
+                scenario,
+                via_points=jnp.concatenate(
+                    [
+                        scenario.via_points,
+                        jnp.zeros(
+                            batch + (extra, 3), scenario.via_points.dtype
+                        ),
+                    ],
+                    axis=-2,
+                ),
+                via_mask=jnp.concatenate(
+                    [scenario.via_mask, jnp.zeros(batch + (extra,), bool)],
+                    axis=-1,
+                ),
+            )
         goal = scenario.xf
         cold = self._needs_reinit(goal)
         if cold:

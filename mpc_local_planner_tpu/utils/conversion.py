@@ -37,3 +37,24 @@ def poses_to_plan_array(poses: List) -> np.ndarray:
     out[:-1, 2] = th
     out[-1, 2] = th[-1] if th.size else 0.0
     return out
+
+
+def ackermann_from_twist(twist, wheelbase: float, min_speed: float = 1e-6):
+    """(vx, vy, omega) twist → (speed, steering_angle) Ackermann command.
+
+    Parity: the examples' `cmd_vel_to_ackermann_drive` conversion script
+    (mpc_local_planner_examples/scripts — geometry_msgs/Twist →
+    ackermann_msgs/AckermannDrive): steering = atan(wheelbase · ω / v),
+    with the steering held at zero below ``min_speed`` (the script's
+    guard against the ω/v singularity at standstill).
+    """
+    t = np.asarray(twist, dtype=np.float64)
+    v = t[..., 0]
+    om = t[..., 2]
+    # atan(L·ω/v) with the sign of v carried by the ratio (reverse driving
+    # flips the steering direction for the same ω)
+    safe_v = np.where(np.abs(v) > min_speed, v, 1.0)
+    steer = np.where(
+        np.abs(v) > min_speed, np.arctan(wheelbase * om / safe_v), 0.0
+    )
+    return np.stack([v, steer], axis=-1)

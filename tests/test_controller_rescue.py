@@ -87,3 +87,24 @@ def test_controller_early_exit_unbatched():
     assert bool(jnp.isfinite(r.solve.eq_norm))
     # the settings carry the flag through both presets
     assert ctrl.settings.early_exit and ctrl.warm_settings.early_exit
+
+
+def test_goal_only_scenario_padded_to_spec_capacities():
+    """README-quickstart shape: Scenario.goal_only under an
+    obstacle-enabled config is padded with masked slots up to
+    spec.obstacle_cap (r4 fix — it used to shape-mismatch the compiled
+    solve); over-capacity raises."""
+    import pytest
+
+    cfg = load_config(
+        {**BASE, "collision": {"obstacle_capacity": 6}}
+    )
+    ctrl = Controller(cfg)
+    scen = jax.tree_util.tree_map(lambda a: a[0], _scen(1))
+    r = ctrl.step(scen)  # goal_only-style empty obstacle set, cap 6
+    assert r.u0.shape == (2,)
+    # over capacity: a 8-slot set into a 6-cap spec
+    big = ObstacleSet.empty(8, 0, 0, 0)
+    scen_big = dc.replace(scen, obstacles=big)
+    with pytest.raises(ValueError, match="obstacle slots"):
+        ctrl.step(scen_big)

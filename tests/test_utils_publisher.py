@@ -43,3 +43,25 @@ def test_conversions():
     assert plan.shape == (3, 3)
     np.testing.assert_allclose(plan[0, 2], 0.0)
     np.testing.assert_allclose(plan[1, 2], np.pi / 2)
+
+
+def test_ackermann_from_twist_roundtrips_simple_car():
+    """twist_from_control → ackermann_from_twist recovers (v, φ) (parity:
+    the examples' cmd_vel_to_ackermann_drive script)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpc_local_planner_tpu.systems.models import SimpleCarModel
+    from mpc_local_planner_tpu.utils.conversion import ackermann_from_twist
+
+    model = SimpleCarModel(wheelbase=0.5)
+    us = jnp.asarray(
+        [[0.4, 0.3], [-0.2, 0.5], [0.3, -0.8], [0.0, 0.4]]
+    )
+    x = jnp.zeros((4, 3))
+    tw = model.twist_from_control(x, us)
+    back = ackermann_from_twist(np.asarray(tw), wheelbase=0.5)
+    # standstill steering is zeroed by the singularity guard
+    exp = np.asarray(us).copy()
+    exp[3, 1] = 0.0
+    np.testing.assert_allclose(back, exp, atol=1e-7)

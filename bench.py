@@ -492,8 +492,13 @@ def families_mode():
         FAMILY_NAMES,
         family_ensemble,
         family_spec,
+        lines_detour_plan,
     )
-    from mpc_local_planner_tpu.ocp.grid import initial_primal, warm_start_resample
+    from mpc_local_planner_tpu.ocp.grid import (
+        initial_primal,
+        primal_from_plan,
+        warm_start_resample,
+    )
     from mpc_local_planner_tpu.solvers.al_sqp import (
         SolverSettings,
         init_duals,
@@ -510,6 +515,11 @@ def families_mode():
     )
     rescue_slots = int(os.environ.get("BENCH_RESCUE", "1024"))
     table = {}
+    # plan seeding for the wall family (BENCH_LINES_SEED=plan): the
+    # reference's local planner seeds from a global plan routed AROUND
+    # walls; straight-line seeding (default, 'line') measures the rawer
+    # no-global-planner workload
+    lines_seed = os.environ.get("BENCH_LINES_SEED", "line")
     for name in names:
         spec = family_spec(name, N=30)
         cold = SolverSettings.for_spec(spec)
@@ -522,7 +532,7 @@ def families_mode():
         )
         with jax.default_device(jax.devices("cpu")[0]):
             scen = family_ensemble(name, spec, batch, jax.random.PRNGKey(0))
-            init = initial_primal(spec, scen)
+            init = initial_primal(spec, scen)  # replaced below if plan-seeded
             duals0 = jax.tree_util.tree_map(
                 lambda a: jnp.broadcast_to(a, (batch,) + a.shape),
                 init_duals(spec, cold, dtype=jnp.float32),
@@ -533,6 +543,12 @@ def families_mode():
             jax.vmap(lambda s, i, d: solve_single(spec, cold, s, i, d))
         )
         warm_solve = jax.jit(jax.vmap(solve_single_auto(spec, warm)))
+        if name == "converter_lines" and lines_seed == "plan":
+            fresh_init = lambda s, _spec=spec: primal_from_plan(  # noqa: E731
+                _spec, lines_detour_plan(s), s.x0
+            )
+        else:
+            fresh_init = lambda s, _spec=spec: initial_primal(_spec, s)  # noqa: E731
         rescue = None
         if rescue_slots:
             r_set = dc.replace(
@@ -561,7 +577,7 @@ def families_mode():
                 ok, warm_start_resample(r.primal, x0n, steps=1, spec=spec), r.primal
             )
             dn = sel(ok, shift_duals(r.duals, warm, steps=1), r.duals)
-            initn = sel(diverged, initial_primal(spec, scen), initn)
+            initn = sel(diverged, fresh_init(scen), initn)
             dn = sel(diverged, duals0, dn)
             r2 = warm_solve(scen, initn, dn)
             if rescue is not None:
@@ -569,7 +585,7 @@ def families_mode():
             return scen, r2
 
         cycle = jax.jit(cycle)
-        r = cold_solve(scen, init, duals0)
+        r = cold_solve(scen, jax.jit(fresh_init)(scen), duals0)
         _ = int(jnp.sum(r.converged))
         for _i in range(2):
             scen, r = cycle(scen, r)
@@ -580,7 +596,7 @@ def families_mode():
             scen, r = cycle(scen, r)
         n_conv = int(jnp.sum(r.converged))
         dt = (time.perf_counter() - t0) / iters
-        oracle = cold_solve(scen, initial_primal(spec, scen), duals0)
+        oracle = cold_solve(scen, fresh_init(scen), duals0)
         feas = oracle.converged
         feasible_frac = float(jnp.mean(feas.astype(jnp.float32)))
         conv_on_feas = float(

@@ -249,6 +249,34 @@ FAMILY_NAMES = (
 )
 
 
+def lines_detour_plan(scenario) -> jax.Array:
+    """A 3-point global-plan analog routed around the wall field.
+
+    Parity role: in the reference the LOCAL planner never faces walls from
+    a straight-line seed — move_base's global planner hands it a plan
+    routed around them, and `Controller::generateInitialStateTrajectory`
+    seeds from that plan. This builds the batched equivalent for the
+    converter-lines ensemble: start → mid-path waypoint displaced to the
+    emptier side of the wall field → goal. jit-safe (pure jnp); feed to
+    `ocp.grid.primal_from_plan`.
+    """
+    x0, xf = scenario.x0[..., :2], scenario.xf[..., :2]
+    d = xf - x0
+    dist = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    hn = d / jnp.maximum(dist, 1e-6)
+    normal = jnp.stack([-hn[..., 1], hn[..., 0]], axis=-1)
+    mids = jnp.mean(scenario.obstacles.lines, axis=-2)  # (..., M, 2)
+    rel = mids - x0[..., None, :]
+    lat = jnp.sum(rel * normal[..., None, :], axis=-1)  # (..., M)
+    m = scenario.obstacles.line_mask.astype(lat.dtype)
+    mean_lat = jnp.sum(lat * m, axis=-1) / jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+    side = -jnp.sign(mean_lat + 1e-6)
+    way = 0.5 * (x0 + xf) + side[..., None] * 1.2 * normal
+    th = jnp.arctan2(d[..., 1], d[..., 0])[..., None]
+    mk = lambda p: jnp.concatenate([p, th], axis=-1)  # noqa: E731
+    return jnp.stack([mk(x0), mk(way), mk(xf)], axis=-2)
+
+
 def classify_feasibility(
     spec,
     scenario,

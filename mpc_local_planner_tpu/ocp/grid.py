@@ -96,7 +96,10 @@ def primal_from_plan(spec, plan_xy_theta, x0, dt=None) -> Primal:
     frac = (pos - idx0.astype(pos.dtype)).astype(plan_xy_theta.dtype)
     pa = jnp.take(plan_xy_theta, idx0, axis=-2)
     pb = jnp.take(plan_xy_theta, idx0 + 1, axis=-2)
-    xs = se2_interpolate(pa, pb, frac[..., None])
+    # broadcast the stage fractions over any leading batch dims (r4 fix:
+    # the old frac[..., None] broke batched plans — se2_interpolate's
+    # rank rule appended a second None)
+    xs = se2_interpolate(pa, pb, jnp.broadcast_to(frac, pa.shape[:-1]))
     xs = xs.at[..., 0, :].set(x0)
     batch = xs.shape[:-2]
     dt_shape = batch + (spec.N,) if spec.nonuniform_dt else batch

@@ -247,3 +247,25 @@ def test_controller_batched_elapsed_per_lane_shift():
     np.testing.assert_array_equal(
         np.asarray(r2c.solve.eq_norm), np.asarray(r2d.solve.eq_norm)
     )
+
+
+def test_primal_from_plan_batched_matches_per_lane():
+    """Batched plan seeding equals per-lane unbatched seeding (r4 fix: the
+    stage-fraction broadcast broke under leading batch dims, which also
+    broke Controller.step(plan=...) for batched fleets)."""
+    from mpc_local_planner_tpu.ocp.grid import primal_from_plan
+
+    spec = config1_unicycle_quadratic(N=6)
+    B, P = 3, 5
+    rng = np.random.default_rng(8)
+    plan = jnp.asarray(rng.normal(size=(B, P, 3)), jnp.float64)
+    x0 = jnp.asarray(rng.normal(size=(B, 3)), jnp.float64)
+    batched = primal_from_plan(spec, plan, x0)
+    for b in range(B):
+        lane = primal_from_plan(spec, plan[b], x0[b])
+        np.testing.assert_allclose(
+            np.asarray(batched.xs[b]), np.asarray(lane.xs), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched.us[b]), np.asarray(lane.us), atol=1e-12
+        )

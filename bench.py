@@ -515,11 +515,12 @@ def families_mode():
     )
     rescue_slots = int(os.environ.get("BENCH_RESCUE", "1024"))
     table = {}
-    # plan seeding for the wall family (BENCH_LINES_SEED=plan): the
-    # reference's local planner seeds from a global plan routed AROUND
-    # walls; straight-line seeding (default, 'line') measures the rawer
-    # no-global-planner workload
-    lines_seed = os.environ.get("BENCH_LINES_SEED", "line")
+    # seeding for the wall family: the reference's local planner ALWAYS
+    # seeds from a move_base global plan routed around walls, so 'astar'
+    # (per-lane A* plans, ~20 s host build at 4096) is the faithful
+    # default; 'line' measures the rawer no-global-planner workload and
+    # 'plan' is the measured-negative single-waypoint detour (BENCH_NOTES)
+    lines_seed = os.environ.get("BENCH_LINES_SEED", "astar")
     for name in names:
         spec = family_spec(name, N=30)
         cold = SolverSettings.for_spec(spec)
@@ -546,6 +547,27 @@ def families_mode():
         if name == "converter_lines" and lines_seed == "plan":
             fresh_init = lambda s, _spec=spec: primal_from_plan(  # noqa: E731
                 _spec, lines_detour_plan(s), s.x0
+            )
+        elif name == "converter_lines" and lines_seed == "astar":
+            # real global-planner seeding: per-lane A* around the walls
+            # (host-side, built once; goals/walls are frozen per lane)
+            from mpc_local_planner_tpu.benchmarks import lines_astar_plans
+
+            t_astar = time.perf_counter()
+            plans, ok_plan = lines_astar_plans(scen)
+            plans = jax.device_put(plans, dev)
+            print(
+                json.dumps(
+                    {
+                        "astar_plans": int(ok_plan.sum()),
+                        "of": int(ok_plan.size),
+                        "build_s": round(time.perf_counter() - t_astar, 1),
+                    }
+                ),
+                flush=True,
+            )
+            fresh_init = lambda s, _spec=spec, _p=plans: primal_from_plan(  # noqa: E731
+                _spec, _p, s.x0
             )
         else:
             fresh_init = lambda s, _spec=spec: initial_primal(_spec, s)  # noqa: E731

@@ -249,6 +249,84 @@ FAMILY_NAMES = (
 )
 
 
+def lines_astar_plans(
+    scenario,
+    n_points: int = 16,
+    resolution: float = 0.1,
+    robot_radius: float = 0.25,
+    margin: float = 1.8,
+):
+    """Per-lane A* global plans around the wall fields (host-side).
+
+    The move_base global-planner role for the converter-lines ensemble:
+    each lane's active wall segments are rasterized into an occupancy grid
+    and 8-connected A* routes start→goal; paths are arc-resampled to
+    ``n_points`` poses. Lanes where A* fails (start/goal enclosed) fall
+    back to the straight line — those are the genuinely infeasible draws.
+    Returns (plans (B, n_points, 3) float32, ok (B,) bool). Host-side and
+    O(B · grid) slow; build once per ensemble, feed `primal_from_plan`.
+    """
+    import numpy as np
+
+    from mpc_local_planner_tpu.planner.local_planner import Costmap
+    from mpc_local_planner_tpu.utils.worlds import astar_plan
+
+    x0 = np.asarray(scenario.x0[..., :2], np.float64)
+    xf = np.asarray(scenario.xf[..., :2], np.float64)
+    lines = np.asarray(scenario.obstacles.lines, np.float64)   # (B, M, 2, 2)
+    mask = np.asarray(scenario.obstacles.line_mask)
+    B = x0.shape[0]
+    plans = np.zeros((B, n_points, 3), np.float64)
+    ok = np.zeros(B, bool)
+    for b in range(B):
+        lo = np.minimum(x0[b], xf[b]) - margin
+        hi = np.maximum(x0[b], xf[b]) + margin
+        W = int(np.ceil((hi[0] - lo[0]) / resolution)) + 1
+        H = int(np.ceil((hi[1] - lo[1]) / resolution)) + 1
+        data = np.zeros((H, W), np.uint8)
+        for j in range(lines.shape[1]):
+            if not mask[b, j]:
+                continue
+            a, c = lines[b, j, 0], lines[b, j, 1]
+            n = max(2, int(np.linalg.norm(c - a) / (0.5 * resolution)))
+            for t in np.linspace(0.0, 1.0, n):
+                p = a + t * (c - a)
+                cx = int(round((p[0] - lo[0]) / resolution))
+                cy = int(round((p[1] - lo[1]) / resolution))
+                if 0 <= cy < H and 0 <= cx < W:
+                    data[cy, cx] = 254
+        cm = Costmap(data=data, origin=(float(lo[0]), float(lo[1])),
+                     resolution=resolution)
+        try:
+            path = astar_plan(cm, x0[b], xf[b], robot_radius=robot_radius)
+        except ValueError:
+            path = None
+        if path is None or path.shape[0] < 2:
+            d = xf[b] - x0[b]
+            th = np.arctan2(d[1], d[0])
+            fr = np.linspace(0.0, 1.0, n_points)[:, None]
+            plans[b, :, :2] = x0[b] + fr * d
+            plans[b, :, 2] = th
+            continue
+        # de-snap the endpoints (A* returns cell centers; the true start
+        # and goal anchor the seed — primal_from_plan re-pins x_0 anyway
+        # but the terminal pose must be the actual goal)
+        path = np.array(path, np.float64)
+        path[0, :2] = x0[b]
+        path[-1, :2] = xf[b]
+        seg = np.diff(path[:, :2], axis=0)
+        arc = np.concatenate([[0.0], np.cumsum(np.linalg.norm(seg, axis=1))])
+        s = np.linspace(0.0, arc[-1], n_points)
+        plans[b, :, 0] = np.interp(s, arc, path[:, 0])
+        plans[b, :, 1] = np.interp(s, arc, path[:, 1])
+        d = np.diff(plans[b, :, :2], axis=0)
+        th = np.arctan2(d[:, 1], d[:, 0])
+        plans[b, :-1, 2] = th
+        plans[b, -1, 2] = th[-1]
+        ok[b] = True
+    return jnp.asarray(plans, jnp.float32), ok
+
+
 def lines_detour_plan(scenario) -> jax.Array:
     """A 3-point global-plan analog routed around the wall field.
 

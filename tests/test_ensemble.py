@@ -89,3 +89,46 @@ def test_classify_feasibility_oracle():
     )
     labels_bad, _ = classify_feasibility(spec, bad, max_instances=2, maxiter=300)
     assert labels_bad.count("unknown") >= 1
+
+
+def test_lines_astar_plans_route_around_walls():
+    """Per-lane A* global-plan builder for the wall family (r4): plans are
+    returned for (almost) every lane, start/end anchor correctly, and
+    planned paths clear the active walls by the planning radius."""
+    import jax
+    import numpy as np
+
+    from mpc_local_planner_tpu.benchmarks import (
+        family_ensemble,
+        family_spec,
+        lines_astar_plans,
+    )
+
+    spec = family_spec("converter_lines", N=12)
+    B = 12
+    scen = family_ensemble("converter_lines", spec, B, jax.random.PRNGKey(5))
+    plans, ok = lines_astar_plans(scen)
+    assert plans.shape == (B, 16, 3)
+    assert ok.sum() >= B - 2  # nearly all lanes plannable
+    x0 = np.asarray(scen.x0[:, :2])
+    xf = np.asarray(scen.xf[:, :2])
+    p = np.asarray(plans)
+    np.testing.assert_allclose(p[:, 0, :2], x0, atol=1e-5)
+    np.testing.assert_allclose(p[:, -1, :2], xf, atol=1e-5)
+    # planned waypoints keep clearance from active wall segments
+    lines = np.asarray(scen.obstacles.lines)
+    mask = np.asarray(scen.obstacles.line_mask)
+
+    def seg_dist(q, a, b):
+        ab = b - a
+        t = np.clip(np.dot(q - a, ab) / max(np.dot(ab, ab), 1e-12), 0, 1)
+        return np.linalg.norm(q - (a + t * ab))
+
+    for b in range(B):
+        if not ok[b]:
+            continue
+        for k in range(1, 15):  # interior waypoints
+            for j in range(lines.shape[1]):
+                if mask[b, j]:
+                    d = seg_dist(p[b, k, :2], lines[b, j, 0], lines[b, j, 1])
+                    assert d > 0.12, (b, k, j, d)

@@ -513,7 +513,6 @@ def families_mode():
         n for n in os.environ.get("BENCH_FAMILIES", ",".join(FAMILY_NAMES)).split(",")
         if n
     )
-    rescue_slots = int(os.environ.get("BENCH_RESCUE", "1024"))
     table = {}
     # seeding for the wall family: the reference's local planner ALWAYS
     # seeds from a move_base global plan routed around walls, so 'astar'
@@ -522,6 +521,13 @@ def families_mode():
     # 'plan' is the measured-negative single-waypoint detour (BENCH_NOTES)
     lines_seed = os.environ.get("BENCH_LINES_SEED", "astar")
     for name in names:
+        # lines carries ~1.4k stragglers at the default budget — its slot
+        # count defaults wider (BENCH_NOTES r4 families footnote)
+        rescue_slots = int(
+            os.environ.get(
+                "BENCH_RESCUE", "2048" if name == "converter_lines" else "1024"
+            )
+        )
         spec = family_spec(name, N=30)
         cold = SolverSettings.for_spec(spec)
         warm = SolverSettings(

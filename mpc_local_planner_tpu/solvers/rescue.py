@@ -82,6 +82,7 @@ def make_rescue(
     def rescue(scenario, result: SolveResult) -> SolveResult:
         unconv = jnp.logical_not(result.converged)
         B = unconv.shape[0]
+        k = min(slots, B)  # a slot budget beyond the batch is just the batch
         # stable compaction permutation via two cumsums (cheaper than a
         # sort: O(B) with log-depth scans): stragglers keep their relative
         # order in slots 0..k-1, converged lanes fill the rest
@@ -95,7 +96,7 @@ def make_rescue(
         order = jnp.zeros((B,), jnp.int32).at[pos].set(
             jnp.arange(B, dtype=jnp.int32)
         )
-        idx = order[:slots]
+        idx = order[:k]
         live = jnp.take(unconv, idx, axis=0)
 
         scen_k = _take(scenario, idx)
@@ -110,7 +111,7 @@ def make_rescue(
 
         fresh_p = initial_primal(spec, scen_k)
         fresh_d = jax.tree_util.tree_map(
-            lambda a: jnp.broadcast_to(a, (slots,) + a.shape), duals0
+            lambda a: jnp.broadcast_to(a, (k,) + a.shape), duals0
         )
         sel = lambda m, a, b: jax.tree_util.tree_map(  # noqa: E731
             lambda x, y: jnp.where(

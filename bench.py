@@ -37,6 +37,33 @@ def _warm_alphas():
     )
 
 
+def _rescue_from_env(spec, warm, default_slots: str = "1024"):
+    """Straggler-rescue builder shared by main/fleet/families modes.
+
+    BENCH_RESCUE (slots; 0 disables), BENCH_RESCUE_NAL/NSQP (default 4x4),
+    BENCH_RESCUE_ALPHAS (default the 8-candidate ladder — conv-critical on
+    the small straggler batch). Returns rescue(scen, result) or None.
+    """
+    slots = int(os.environ.get("BENCH_RESCUE", default_slots))
+    if not slots:
+        return None
+    from mpc_local_planner_tpu.solvers.rescue import make_rescue
+
+    r_set = dc.replace(
+        warm,
+        n_al=int(os.environ.get("BENCH_RESCUE_NAL", "4")),
+        n_sqp=int(os.environ.get("BENCH_RESCUE_NSQP", "4")),
+        alphas=tuple(
+            float(a)
+            for a in os.environ.get(
+                "BENCH_RESCUE_ALPHAS",
+                "1.0,0.7,0.5,0.35,0.22,0.14,0.08,0.03",
+            ).split(",")
+        ),
+    )
+    return make_rescue(spec, warm, slots, rescue_settings=r_set)
+
+
 def latency_mode():
     """Single-robot warm-solve latency (BASELINE: p99 ≪ 100 ms cycle budget).
 
@@ -240,29 +267,23 @@ def serving_mode():
         key, sub = jax.random.split(key)
         fresh = random_ensemble(spec, E, sub)
         s = sel(retire, fresh, s)
-        r2 = sel(
-            retire,
-            dc.replace(
-                r2,
-                primal=initial_primal(spec, s),
-                duals=duals0,
-                converged=jnp.zeros_like(conv_now),
-                eq_norm=jnp.zeros_like(r2.eq_norm),
-                ineq_viol=jnp.zeros_like(r2.ineq_viol),
-            ),
-            r2,
-        )
         gave_up = jnp.logical_and(retire, jnp.logical_not(reached))
         stuck = jnp.where(retire, 0, stuck)
+
         # a REAL serving system plans a fresh goal with the cold preset
         # inside its 100 ms budget (the reference's IPOPT does the same on
         # goal arrival) — run the early-exit cold program on redraw cycles
-        # only (lax.cond skips it entirely on the common no-redraw cycle;
-        # non-retired lanes are fed their converged iterate and exit after
-        # one phase)
+        # only. lax.cond skips it entirely on the common no-redraw cycle;
+        # when it runs, non-retired lanes are fed their CURRENT iterate so
+        # the batched early-exit while_loop freezes them after one cheap
+        # phase instead of cold-solving the whole ensemble (review r4 —
+        # feeding initial_primal to every lane made each redraw cycle cost
+        # a full-ensemble cold solve whose results were then discarded)
         def do_cold(args):
             s_, r_ = args
-            rc = cold_ee_solve(s_, initial_primal(spec, s_), duals0)
+            init_c = sel(retire, initial_primal(spec, s_), r_.primal)
+            duals_c = sel(retire, duals0, r_.duals)
+            rc = cold_ee_solve(s_, init_c, duals_c)
             return sel(retire, rc, r_)
 
         r2 = jax.lax.cond(
@@ -374,23 +395,7 @@ def fleet_mode():
         )
     duals0 = jax.device_put(duals0, dev)
 
-    rescue_slots = int(os.environ.get("BENCH_RESCUE", "1024"))
-    if rescue_slots:
-        from mpc_local_planner_tpu.solvers.rescue import make_rescue
-
-        r_set = dc.replace(
-            warm,
-            n_al=int(os.environ.get("BENCH_RESCUE_NAL", "4")),
-            n_sqp=int(os.environ.get("BENCH_RESCUE_NSQP", "4")),
-            alphas=tuple(
-                float(a)
-                for a in os.environ.get(
-                    "BENCH_RESCUE_ALPHAS",
-                    "1.0,0.7,0.5,0.35,0.22,0.14,0.08,0.03",
-                ).split(",")
-            ),
-        )
-        rescue = make_rescue(spec, warm, rescue_slots, rescue_settings=r_set)
+    rescue = _rescue_from_env(spec, warm)
 
     def cycle(scen, r):
         ok = r.converged
@@ -410,7 +415,7 @@ def fleet_mode():
         initn = sel(diverged, initial_primal(spec, scen), initn)
         dn = sel(diverged, duals0, dn)
         r2 = warm_solve(scen, initn, dn)
-        if rescue_slots:
+        if rescue is not None:
             r2 = rescue(scen, r2)
         return scen, r2
 
@@ -506,7 +511,6 @@ def families_mode():
         solve_single,
         solve_single_auto,
     )
-    from mpc_local_planner_tpu.solvers.rescue import make_rescue
 
     batch = int(os.environ.get("BENCH_BATCH", "4096"))
     names = tuple(
@@ -521,13 +525,6 @@ def families_mode():
     # 'plan' is the measured-negative single-waypoint detour (BENCH_NOTES)
     lines_seed = os.environ.get("BENCH_LINES_SEED", "astar")
     for name in names:
-        # lines carries ~1.4k stragglers at the default budget — its slot
-        # count defaults wider (BENCH_NOTES r4 families footnote)
-        rescue_slots = int(
-            os.environ.get(
-                "BENCH_RESCUE", "2048" if name == "converter_lines" else "1024"
-            )
-        )
         spec = family_spec(name, N=30)
         cold = SolverSettings.for_spec(spec)
         warm = SolverSettings(
@@ -577,15 +574,12 @@ def families_mode():
             )
         else:
             fresh_init = lambda s, _spec=spec: initial_primal(_spec, s)  # noqa: E731
-        rescue = None
-        if rescue_slots:
-            r_set = dc.replace(
-                warm,
-                n_al=int(os.environ.get("BENCH_RESCUE_NAL", "4")),
-                n_sqp=int(os.environ.get("BENCH_RESCUE_NSQP", "4")),
-                alphas=(1.0, 0.7, 0.5, 0.35, 0.22, 0.14, 0.08, 0.03),
-            )
-            rescue = make_rescue(spec, warm, rescue_slots, rescue_settings=r_set)
+        # lines carries ~1.4k stragglers at the default budget — its slot
+        # count defaults wider (BENCH_NOTES r4 families footnote)
+        rescue = _rescue_from_env(
+            spec, warm,
+            default_slots="2048" if name == "converter_lines" else "1024",
+        )
 
         def cycle(scen, r):
             ok = r.converged
@@ -633,7 +627,7 @@ def families_mode():
         )
         table[name] = {
             "cycle_ms": round(dt * 1e3, 2),
-            "conv_solves_per_s": round(batch * n_conv / batch / dt, 1),
+            "conv_solves_per_s": round(n_conv / dt, 1),
             "converged_frac": round(n_conv / batch, 3),
             "feasible_frac_cold_oracle": round(feasible_frac, 3),
             "conv_on_feasible": round(conv_on_feas, 3),
@@ -721,23 +715,7 @@ def main():
     # unconverged lanes into BENCH_RESCUE slots and re-solve only those with
     # a deeper continue budget (probe: continue converges 54% of stragglers
     # at +12 iters, 73% at +24; fresh-restart only 21%). 0 disables.
-    rescue_slots = int(os.environ.get("BENCH_RESCUE", "1024"))
-    if rescue_slots:
-        from mpc_local_planner_tpu.solvers.rescue import make_rescue
-
-        r_set = dc.replace(
-            warm,
-            n_al=int(os.environ.get("BENCH_RESCUE_NAL", "4")),
-            n_sqp=int(os.environ.get("BENCH_RESCUE_NSQP", "4")),
-            alphas=tuple(
-                float(a)
-                for a in os.environ.get(
-                    "BENCH_RESCUE_ALPHAS",
-                    "1.0,0.7,0.5,0.35,0.22,0.14,0.08,0.03",
-                ).split(",")
-            ),
-        )
-        rescue = make_rescue(spec, warm, rescue_slots, rescue_settings=r_set)
+    rescue = _rescue_from_env(spec, warm)
 
     def cycle(scen, r):
         """One warm MPC cycle (validated policy: advance/continue/reset)."""
@@ -764,7 +742,7 @@ def main():
         initn = sel(diverged, initial_primal(spec, scen), initn)
         dn = sel(diverged, duals0, dn)
         r2 = warm_solve(scen, initn, dn)
-        if rescue_slots:
+        if rescue is not None:
             r2 = rescue(scen, r2)
         return scen, r2
 

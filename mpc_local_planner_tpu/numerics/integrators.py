@@ -119,8 +119,11 @@ RK_TABLEAUS = {
             -4.0 / 15.0, 11.0 / 120.0,
         ),
     ),
-    # Fehlberg RK7(8): the 13-stage 7th-order solution weights (the classic
-    # top-order explicit tableau; fixed step, embedded 8th-order row unused).
+    # Fehlberg RK7(8), truncated to the 11 stages the 7th-order solution
+    # actually uses: the full tableau's stages 12-13 exist only for the
+    # (unused) embedded 8th-order error estimate — their b weights are zero
+    # and no kept stage depends on them, so dropping them is bit-identical
+    # and saves 2 dynamics evals per substep (review r4).
     "rk7": (
         (
             (2.0 / 27.0,),
@@ -139,15 +142,10 @@ RK_TABLEAUS = {
             (2383.0 / 4100.0, 0.0, 0.0, -341.0 / 164.0, 4496.0 / 1025.0,
              -301.0 / 82.0, 2133.0 / 4100.0, 45.0 / 82.0, 45.0 / 164.0,
              18.0 / 41.0),
-            (3.0 / 205.0, 0.0, 0.0, 0.0, 0.0, -6.0 / 41.0, -3.0 / 205.0,
-             -3.0 / 41.0, 3.0 / 41.0, 6.0 / 41.0, 0.0),
-            (-1777.0 / 4100.0, 0.0, 0.0, -341.0 / 164.0, 4496.0 / 1025.0,
-             -289.0 / 82.0, 2193.0 / 4100.0, 51.0 / 82.0, 33.0 / 164.0,
-             12.0 / 41.0, 0.0, 1.0),
         ),
         (
             41.0 / 840.0, 0.0, 0.0, 0.0, 0.0, 34.0 / 105.0, 9.0 / 35.0,
-            9.0 / 35.0, 9.0 / 280.0, 9.0 / 280.0, 41.0 / 840.0, 0.0, 0.0,
+            9.0 / 35.0, 9.0 / 280.0, 9.0 / 280.0, 41.0 / 840.0,
         ),
     ),
 }

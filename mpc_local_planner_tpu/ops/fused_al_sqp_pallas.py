@@ -112,11 +112,14 @@ def fused_supported(spec) -> bool:
 
         integ, substeps = _parse_shooting(spec.collocation)
         # every explicit integrator has a kernel tableau; bound the unrolled
-        # per-stage chain by its total dynamics-eval count (stages x substeps
-        # — the old substeps<=4 bound allowed rk5's 6x4=24; keep that ceiling
-        # plus rk6 at 7x4=28, which admits rk7 only up to 2 substeps)
+        # per-stage chain BOTH by substeps (<=4, the r3 envelope the
+        # equivalence tests cover) AND by total dynamics-eval count
+        # (stages x substeps <= 28: rk5 6x4=24, rk6 7x4=28, rk7 11x2=22 —
+        # review r4: the eval bound alone silently admitted untested
+        # high-substep/low-stage configs like shooting_euler_20)
         colloc_ok = (
             integ in _RK_TABLEAUS
+            and substeps <= 4
             and len(_RK_TABLEAUS[integ][1]) * substeps <= 28
         )
     return (

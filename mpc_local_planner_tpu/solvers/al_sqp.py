@@ -973,6 +973,32 @@ def _solve_single_impl(
     )
 
 
+def fused_dispatch_ok(spec, settings, scenario, dtype, backend) -> bool:
+    """The whole-solve-kernel admission decision of solve_single_auto.
+
+    Factored out so the guards are directly testable (review r4): spec in
+    kernel scope, obstacle slots in scope, f32, TPU backend, bounded
+    unrolled budget, and NOT early_exit — the kernel unrolls its schedule,
+    so it cannot honor a while_loop budget cap.
+    """
+    from mpc_local_planner_tpu.ops.fused_al_sqp_pallas import (
+        fused_obstacles_supported,
+        fused_supported,
+    )
+
+    return (
+        settings.fused != "off"
+        and fused_supported(spec)
+        and fused_obstacles_supported(scenario)
+        and dtype == jnp.float32
+        and backend == "tpu"
+        # the kernel unrolls the n_al x n_sqp schedule; cold budgets
+        # (hundreds of iterations) would blow up the program size
+        and settings.n_al * settings.n_sqp <= 16
+        and not settings.early_exit
+    )
+
+
 def solve_single_auto(spec: OcpSpec, settings: SolverSettings):
     """solve_single with transparent whole-solve-kernel dispatch under vmap.
 
@@ -989,11 +1015,7 @@ def solve_single_auto(spec: OcpSpec, settings: SolverSettings):
     """
     from jax.custom_batching import custom_vmap
 
-    from mpc_local_planner_tpu.ops.fused_al_sqp_pallas import (
-        fused_obstacles_supported,
-        fused_solve,
-        fused_supported,
-    )
+    from mpc_local_planner_tpu.ops.fused_al_sqp_pallas import fused_solve
 
     @custom_vmap
     def solve(scenario, init, duals):
@@ -1012,18 +1034,8 @@ def solve_single_auto(spec: OcpSpec, settings: SolverSettings):
         scenario = bcast(scenario, in_batched[0])
         init = bcast(init, in_batched[1])
         duals = bcast(duals, in_batched[2])
-        use_fused = (
-            settings.fused != "off"
-            and fused_supported(spec)
-            and fused_obstacles_supported(scenario)
-            and init.xs.dtype == jnp.float32
-            and jax.default_backend() == "tpu"
-            # the kernel unrolls the n_al x n_sqp schedule; cold budgets
-            # (hundreds of iterations) would blow up the program size
-            and settings.n_al * settings.n_sqp <= 16
-            # early_exit is a while_loop budget — the kernel's schedule is
-            # unrolled, so it cannot honor it
-            and not settings.early_exit
+        use_fused = fused_dispatch_ok(
+            spec, settings, scenario, init.xs.dtype, jax.default_backend()
         )
         if use_fused:
             out = fused_solve(spec, settings, scenario, init, duals)

@@ -29,7 +29,6 @@ K=1024; see BENCH_NOTES r4 and bench.py.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import jax
@@ -104,9 +103,26 @@ def make_rescue(
         duals_k = _take(result.duals, idx)
         ev = jnp.take(result.eq_norm, idx, axis=0)
         iv = jnp.take(result.ineq_viol, idx, axis=0)
-        diverged = jnp.logical_or(
-            jnp.logical_or(ev > divergence_threshold, iv > divergence_threshold),
-            jnp.logical_not(jnp.all(jnp.isfinite(primal_k.xs), axis=(-2, -1))),
+        # NaN-safe (NOT both-small: NaN norms count as diverged) and the
+        # finite check covers the WHOLE iterate — us/dt can go NaN while xs
+        # stays finite on min-time variable-dt blowups (review r4)
+        finite = jnp.logical_and(
+            jnp.all(jnp.isfinite(primal_k.xs), axis=(-2, -1)),
+            jnp.logical_and(
+                jnp.all(jnp.isfinite(primal_k.us), axis=(-2, -1)),
+                jnp.all(
+                    jnp.isfinite(primal_k.dt),
+                    axis=tuple(range(1, primal_k.dt.ndim)),
+                ),
+            ),
+        )
+        diverged = jnp.logical_not(
+            jnp.logical_and(
+                jnp.logical_and(
+                    ev <= divergence_threshold, iv <= divergence_threshold
+                ),
+                finite,
+            )
         )
 
         fresh_p = initial_primal(spec, scen_k)
@@ -143,10 +159,3 @@ def make_rescue(
         )
 
     return rescue
-
-
-def rescue_settings_default(settings: SolverSettings) -> SolverSettings:
-    """Deeper straggler schedule: double the AL phases at the same per-phase
-    SQP depth (stragglers mostly need more dual/penalty progress, not more
-    primal polish per phase — measured in the r4 probe)."""
-    return dataclasses.replace(settings, n_al=min(2 * settings.n_al, 8))

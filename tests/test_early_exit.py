@@ -54,13 +54,23 @@ def test_early_exit_converges_like_fixed_schedule():
 
 
 def test_early_exit_never_dispatches_fused():
-    from mpc_local_planner_tpu.solvers.al_sqp import solve_single_auto
+    """The fused kernel unrolls its schedule and cannot honor a while-loop
+    budget cap — the admission predicate (factored out as
+    fused_dispatch_ok, which the custom_vmap rule calls) must reject
+    early_exit even when every other gate passes."""
+    from mpc_local_planner_tpu.benchmarks import random_ensemble
+    from mpc_local_planner_tpu.solvers.al_sqp import fused_dispatch_ok
 
     spec = config3_carlike_min_time(N=8, obstacle_cap=4)
-    ee = SolverSettings(n_al=3, n_sqp=4, early_exit=True)
-    # the guard is in the custom_vmap rule: on CPU it falls back anyway, so
-    # assert the decision input directly — the fused kernel unrolls its
-    # schedule and cannot honor a while budget
-    assert ee.early_exit
-    fn = solve_single_auto(spec, ee)  # must build without error
-    assert callable(fn)
+    scen = random_ensemble(spec, 4, jax.random.PRNGKey(0), dtype=jnp.float32)
+    base = SolverSettings(n_al=3, n_sqp=4)
+    # every other gate passes on a hypothetical TPU backend…
+    assert fused_dispatch_ok(spec, base, scen, jnp.float32, "tpu")
+    # …and early_exit alone flips the decision
+    ee = dc.replace(base, early_exit=True)
+    assert not fused_dispatch_ok(spec, ee, scen, jnp.float32, "tpu")
+    # sanity on the other gates the predicate owns
+    assert not fused_dispatch_ok(spec, base, scen, jnp.float32, "cpu")
+    assert not fused_dispatch_ok(spec, base, scen, jnp.float64, "tpu")
+    deep = dc.replace(base, n_al=5, n_sqp=4)  # 20 > 16 unrolled budget
+    assert not fused_dispatch_ok(spec, deep, scen, jnp.float32, "tpu")

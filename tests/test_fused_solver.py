@@ -69,11 +69,19 @@ def test_out_of_scope_specs_rejected():
         dataclasses.replace(spec, collocation="shooting_rk4_8")  # substep cap
     )
     # rk6 (7 stages) fits the 28-eval chain bound up to 4 substeps; rk7
-    # (13 stages) only up to 2 (r4: high-order tableaus joined the family)
+    # (11 stages after the dead-stage truncation) only up to 2 (r4)
     assert fused_supported(dataclasses.replace(spec, collocation="shooting_rk6"))
     assert fused_supported(dataclasses.replace(spec, collocation="shooting_rk7_2"))
     assert not fused_supported(
         dataclasses.replace(spec, collocation="shooting_rk7_3")
+    )
+    # the substep cap still applies independently of the eval bound (a
+    # low-stage integrator at high substeps is outside the tested envelope)
+    assert not fused_supported(
+        dataclasses.replace(spec, collocation="shooting_explicit_euler_20")
+    )
+    assert not fused_supported(
+        dataclasses.replace(spec, collocation="shooting_rk2_heun_8")
     )
     # quadratic form, via points, terminal ball, and dynamic obstacles ARE
     # in scope (via points joined late round 3)

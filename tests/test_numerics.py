@@ -110,7 +110,7 @@ def test_rk_tableaus_consistent():
     a7, _ = RK_TABLEAUS["rk7"]
     np.testing.assert_allclose(
         [sum(r) for r in a7],
-        [2 / 27, 1 / 9, 1 / 6, 5 / 12, 1 / 2, 5 / 6, 1 / 6, 2 / 3, 1 / 3, 1, 0, 1],
+        [2 / 27, 1 / 9, 1 / 6, 5 / 12, 1 / 2, 5 / 6, 1 / 6, 2 / 3, 1 / 3, 1],
         atol=1e-12,
     )
 

@@ -107,8 +107,6 @@ def latency_mode():
     warm_solve = jax.jit(lambda s, i, d: solve_single(spec, warm, s, i, d))
 
     # ≥500 timed samples: a p99 claim needs hundreds of observations
-    import os
-
     n_samples = int(os.environ.get("BENCH_LAT_SAMPLES", "520"))
     lat = []
     for _k in range(n_samples + 20):
@@ -679,7 +677,6 @@ def main():
     # The headline metric is CONVERGED solves/s (a solve only counts if it
     # meets its own 1e-3 feasibility tolerance); extra carries the
     # cold-oracle feasible fraction and conv_on_feasible (0.928 at 3×4).
-    import os
     warm = SolverSettings(
         n_al=int(os.environ.get("BENCH_NAL", "3")),
         n_sqp=int(os.environ.get("BENCH_NSQP", "4")),

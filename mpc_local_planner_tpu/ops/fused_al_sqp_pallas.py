@@ -92,6 +92,19 @@ import os as _os
 # sweeps; tests/conftest pins 2 because interpret mode pays the full padded
 # (SUBLANES*128) batch on CPU.
 SUBLANES = int(_os.environ.get("MPC_FUSED_SUBLANES", "8"))
+# MECHANISM PROBE, not a solver mode (r5, VERDICT r4 missing #4): with
+# MPC_FUSED_CHAINBREAK=1 the backward Riccati sweep reads the TERMINAL
+# (P_N, p_N) at every stage instead of the loop-carried value — the same
+# instruction mix minus the cross-stage dependency chain (results are WRONG;
+# never set outside timing probes). Decides the in-kernel horizon-parallel
+# (associative-scan) sweep question: if breaking the dependency does not
+# speed the kernel up, the sweep is ISSUE-bound, the chain latency is
+# already hidden behind the streamed derivative assembly, and a pscan
+# variant (~4x the backward-sweep op count for its 6x6 composition algebra:
+# per-compose one 6x6 solve + ~6 6x6 matmuls vs the sequential step's ~5
+# matmuls + 2x2 inverse, times N·ceil(log2 N)/2 compositions vs N steps)
+# strictly loses. See BENCH_NOTES r5.
+CHAINBREAK = int(_os.environ.get("MPC_FUSED_CHAINBREAK", "0"))
 LANES = 128
 BT = SUBLANES * LANES
 _BIG = 1.0e6          # geometry.obstacles.BIG_DISTANCE
@@ -1596,10 +1609,15 @@ def _fused_kernel(
 
             # ---------- backward Riccati sweep (streaming derivatives) ----- #
             PN, pN = terminal_Pp(rho)
+            p_init = [pN[i] if not _isc(pN[i]) else zero + pN[i] for i in range(na)]
+            P_init = [
+                [PN[i][j] if not _isc(PN[i][j]) else zero + PN[i][j] for j in range(na)]
+                for i in range(na)
+            ]
             for i in range(na):
-                pv[i] = pN[i] if not _isc(pN[i]) else zero + pN[i]
+                pv[i] = p_init[i]
                 for j in range(na):
-                    P[i, j] = PN[i][j] if not _isc(PN[i][j]) else zero + PN[i][j]
+                    P[i, j] = P_init[i][j]
 
             def backward(t, _):
                 k = N - 1 - t
@@ -1642,8 +1660,15 @@ def _fused_kernel(
                     ]
                 rz = [rres[0], rres[1], rres[2], 0.0, 0.0, 0.0]
 
-                Pm = [[P[i, j] for j in range(na)] for i in range(na)]
-                pl_ = [pv[i] for i in range(na)]
+                if CHAINBREAK:
+                    # timing probe only (see the knob comment at the top):
+                    # registers instead of the loop-carried VMEM state —
+                    # severs the cross-stage dependency, results are WRONG
+                    Pm = [[P_init[i][j] for j in range(na)] for i in range(na)]
+                    pl_ = list(p_init)
+                else:
+                    Pm = [[P[i, j] for j in range(na)] for i in range(na)]
+                    pl_ = [pv[i] for i in range(na)]
                 PF = _mat_mul(Pm, Fz)
                 PG = _mat_mul(Pm, Gz)
                 Prp = [_add(_dotl(Pm[i], rz), pl_[i]) for i in range(na)]

@@ -101,12 +101,20 @@ def make_sharded_solver(
         # per-shard rescue: shard_map gives the local block, inside which
         # the compaction is ordinary local indexing
         pspec = batch_spec()
+        # INVARIANT (load-bearing for check_vma=False below): `solve` — the
+        # vmapped per-lane solve + per-shard rescue — must stay COLLECTIVE-
+        # FREE. Compaction indices are local, every lane is independent, and
+        # dryrun_multichip cross-checks per-lane results against the
+        # unsharded path, which would catch any cross-shard dataflow. If you
+        # add a collective inside this solve (e.g. a global merit reduction),
+        # re-enable the VMA checker first — with it off, shard_map will NOT
+        # validate the new collective's mesh-axis usage (ADVICE r4).
         sharded = jax.shard_map(
             solve, mesh=mesh, in_specs=(pspec, pspec, pspec), out_specs=pspec,
-            # the solver's scan carries mix shard-derived values with
-            # replicated constants (reg0, inf sentinels); the VMA checker
-            # rejects that mix even though the computation is purely
-            # data-parallel — disable it (no collectives inside)
+            # the solver's scan mixes shard-derived values with replicated
+            # constants (reg0, inf sentinels); the VMA checker rejects that
+            # mix even though the computation is purely data-parallel —
+            # disabled under the collective-free invariant documented above
             check_vma=False,
         )
         return jax.jit(sharded)

@@ -263,6 +263,25 @@ class SolverNs:
     rescue_slots: int = 0
     rescue_iterations: int = 0
     rescue_inner_iterations: int = 0
+    # wall-clock cycle budget in ms (parity: `solver.ipopt.max_cpu_time` —
+    # SURVEY Appendix A). 0 disables. Semantics differ from IPOPT's
+    # mid-solve clock check: granularity is ONE AL PHASE, and the budget is
+    # enforced by capping the warm n_al at
+    # floor(max_cycle_ms / measured_phase_ms) — calibrated host-side at
+    # bring-up (Controller.calibrate_cycle_budget; step() auto-calibrates
+    # on the first warm cycle) because everything under jit is compiled
+    # with a static schedule. Implies early_exit (converge-or-budget).
+    max_cycle_ms: float = 0.0
+    # post-solve polish (accuracy knob, r5): chain k extra warm-budget
+    # launches from the returned iterate, keeping each re-solve only on
+    # lanes it left converged. Motivated by the measured min-time
+    # switch-stage floor: the warm budget leaves O(0.1) control error at
+    # bang-bang switch stages while dt*/T* are already at 1e-4/1e-3;
+    # 4 extra launches shrink it ~0.16 → 0.06 (BENCH_NOTES r4 accuracy
+    # floor; tests/test_fused_accuracy_floor.py pins the polished floor).
+    # Cost ≈ k× the warm cycle — for offline / accuracy-critical serving,
+    # not fleet throughput. 0 disables.
+    polish_launches: int = 0
 
     def settings(self, spec: OcpSpec) -> SolverSettings:
         over: Dict[str, Any] = {}
@@ -334,7 +353,9 @@ class SolverNs:
             base,
             n_al=self.warm_iterations or 2,
             n_sqp=self.warm_inner_iterations or 4,
-            early_exit=self.early_exit,
+            # a wall-clock budget implies converge-or-budget semantics: the
+            # capped n_al is a CAP, not a fixed cost (see max_cycle_ms)
+            early_exit=self.early_exit or self.max_cycle_ms > 0,
             # warm-restart penalty: ρ restarts at this level every cycle
             # (shift_duals). Measured frontier on the carlike min-time fleet
             # (batch 4096, 2×3 budget): conv 0.62 @ ρ₀=50 → 0.74 @ ρ₀=120-150

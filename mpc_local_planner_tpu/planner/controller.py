@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from mpc_local_planner_tpu.core.so2 import angle_diff
 from mpc_local_planner_tpu.core.time_series import TimeSeries, TimeSeriesSE2
+from mpc_local_planner_tpu.core.tree import where_tree
 from mpc_local_planner_tpu.ocp.grid import (
     Primal,
     adapt_grid_nonuniform,
@@ -81,6 +82,11 @@ class Controller:
         # reference relies on warm starts + IPOPT iteration caps to hit the
         # control cycle; running the cold budget every cycle wastes ~20×)
         self.warm_settings = config.warm_solver_settings(self.spec)
+        # max_cycle_ms calibration state (see calibrate_cycle_budget):
+        # _warm_nal_cfg remembers the CONFIGURED warm cap so repeated
+        # calibrations re-derive from it, not from an already-capped value
+        self._phase_ms: Optional[float] = None
+        self._warm_nal_cfg = self.warm_settings.n_al
         self.batch = batch          # None = unbatched single-robot mode
         self.dtype = dtype
         self._primal: Optional[Primal] = None
@@ -147,6 +153,15 @@ class Controller:
         if fn is None:
             spec = self._spec
             solve_one = self._solve_single
+            # post-solve polish launches (solver.polish_launches): al_sqp
+            # only — lsq_lm's soft-penalty iterate has no switch-stage
+            # sharpening to gain from extra warm launches
+            pol = (
+                self.config.solver.polish_launches
+                if solve_one is solve_single
+                else 0
+            )
+            pol_settings = self.warm_settings
 
             if self.batch is not None and solve_one is solve_single:
                 # batched al_sqp: route through the auto wrapper so the
@@ -155,7 +170,12 @@ class Controller:
 
                 base = jax.vmap(solve_single_auto(spec, settings))
                 slots = min(self.config.solver.rescue_slots, self.batch)
-                if slots > 0:
+                rescue = None
+                # rescue only on warm-budget cycles (ADVICE r4): its 4x4
+                # continue budget is sized for warm stragglers; chained
+                # after the 16x15 cold schedule it adds little beyond a
+                # compaction pass
+                if slots > 0 and warm:
                     # straggler rescue (solver.rescue_slots): compact the
                     # unconverged lanes and re-solve only those with the
                     # deeper continue budget (solvers/rescue.py)
@@ -167,20 +187,95 @@ class Controller:
                             settings
                         ),
                     )
+                pol_solve = (
+                    base
+                    if pol == 0 or settings == pol_settings
+                    else jax.vmap(solve_single_auto(spec, pol_settings))
+                )
 
-                    def _solve_r(scenario, init, duals):
-                        return rescue(scenario, base(scenario, init, duals))
+                def _solve_r(scenario, init, duals):
+                    r = base(scenario, init, duals)
+                    if rescue is not None:
+                        r = rescue(scenario, r)
+                    for _k in range(pol):
+                        r2 = pol_solve(scenario, r.primal, r.duals)
+                        # keep the polish only on lanes it left converged
+                        # (monotone: a polish pass can never un-converge)
+                        r = where_tree(r2.converged, r2, r)
+                    return r
 
-                    fn = jax.jit(_solve_r)
-                else:
-                    fn = jax.jit(base)
+                fn = jax.jit(_solve_r)
             else:
                 def _solve(scenario, init, duals):
-                    return solve_one(spec, settings, scenario, init, duals)
+                    r = solve_one(spec, settings, scenario, init, duals)
+                    for _k in range(pol):
+                        r2 = solve_one(
+                            spec, pol_settings, scenario, r.primal, r.duals
+                        )
+                        r = where_tree(r2.converged, r2, r)
+                    return r
 
                 fn = jax.jit(jax.vmap(_solve) if self.batch is not None else _solve)
             self._cache[key] = fn
         return fn
+
+    def calibrate_cycle_budget(self, scenario, phase_ms: Optional[float] = None) -> float:
+        """Calibrate the wall-clock cycle budget (solver.max_cycle_ms).
+
+        Parity: `solver.ipopt.max_cpu_time` (SURVEY Appendix A). IPOPT
+        checks the clock mid-solve; here the whole schedule is one compiled
+        program, so the budget is enforced at AL-PHASE granularity: this
+        measures the wall time of one warm AL phase (an n_al=1 warm-budget
+        solve on the prototype scenario — min of 3 timed runs after a
+        compile warmup) unless ``phase_ms`` is given, then caps the warm
+        budget at n_al = floor(max_cycle_ms / phase_ms), at least 1 (a
+        budget below one phase still runs one phase — some answer must be
+        produced), combined with early_exit (converge-or-budget). Returns
+        the phase_ms used. step() auto-calibrates on its first warm cycle;
+        re-run when migrating hardware. Compiled warm programs are dropped
+        (they bake the old schedule).
+        """
+        budget = self.config.solver.max_cycle_ms
+        if budget <= 0:
+            raise ValueError(
+                "solver.max_cycle_ms is not set; nothing to calibrate"
+            )
+        if phase_ms is None:
+            import time as _time
+
+            one = dataclasses.replace(
+                self.warm_settings, n_al=1, early_exit=False
+            )
+            if self.batch is not None and self._solve_single is solve_single:
+                from mpc_local_planner_tpu.solvers.al_sqp import solve_single_auto
+
+                probe = jax.jit(jax.vmap(solve_single_auto(self._spec, one)))
+            else:
+                solve_one = self._solve_single
+                spec = self._spec
+                probe = jax.jit(
+                    jax.vmap(lambda s, i, d: solve_one(spec, one, s, i, d))
+                    if self.batch is not None
+                    else lambda s, i, d: solve_one(spec, one, s, i, d)
+                )
+            init = initial_primal(self._spec, scenario)
+            duals = self._fresh_duals()
+            float(jnp.sum(probe(scenario, init, duals).cost))  # compile
+            times = []
+            for _k in range(3):
+                t0 = _time.perf_counter()
+                float(jnp.sum(probe(scenario, init, duals).cost))
+                times.append((_time.perf_counter() - t0) * 1e3)
+            phase_ms = min(times)
+        self._phase_ms = float(phase_ms)
+        allowed = max(1, int(budget / max(self._phase_ms, 1e-9)))
+        new_nal = min(self._warm_nal_cfg, allowed)
+        if new_nal != self.warm_settings.n_al:
+            self.warm_settings = dataclasses.replace(
+                self.warm_settings, n_al=new_nal
+            )
+            self._cache = {k: v for k, v in self._cache.items() if not k[1]}
+        return self._phase_ms
 
     def _adapt_grid(self):
         """Horizon adaptation between cycles (host-side: each N dispatches
@@ -482,6 +577,17 @@ class Controller:
             init = dataclasses.replace(
                 init, xs=init.xs.at[..., 0, :].set(scenario.x0)
             )
+
+        if (
+            not cold
+            and self.config.solver.max_cycle_ms > 0
+            and self._phase_ms is None
+        ):
+            # first warm cycle under a wall-clock budget: measure one AL
+            # phase and cap the warm schedule (bring-up cost, paid once —
+            # deployments that precompile should call calibrate_cycle_budget
+            # explicitly there instead)
+            self.calibrate_cycle_budget(scenario)
 
         result = self._solver_fn(warm=not cold)(scenario, init, duals)
 

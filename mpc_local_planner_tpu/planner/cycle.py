@@ -1,0 +1,99 @@
+"""Batched warm MPC cycle — the fleet steady-state step.
+
+Parity role: one tick of the reference's control loop
+(`cbr:controllers/predictive_controller.h :: PredictiveController::step`
+warm-start semantics), vectorized over a scenario fleet. The per-lane
+policy (validated in BENCH_NOTES since r1):
+
+  converged lanes  → advance one stage (executed-control feedback), resample
+                     the warm start, shift the stage duals (ρ restarts)
+  sane-unconverged → CONTINUE from their current primal/duals (iterations
+                     accumulate across cycles — the batched analog of IPOPT
+                     running as long as the problem needs)
+  diverged lanes   → reset fresh (NaN-safe test: a non-finite eq_norm counts
+                     as diverged, never as "sane")
+
+Extracted from bench.py in round 5: main/fleet/families each carried a
+drifting copy of this closure, and every r4 self-review bug (u_prev freeze,
+cold-replant waste, NaN mask) lived in exactly that duplicated layer
+(VERDICT r4 weak #5). The Controller implements the same policy for the
+host-driven single/batched planner path; this is the in-graph functional
+form that `lax.scan` fleet loops compose.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mpc_local_planner_tpu.core.tree import where_tree
+from mpc_local_planner_tpu.ocp.grid import initial_primal, warm_start_resample
+from mpc_local_planner_tpu.ocp.spec import OcpSpec
+from mpc_local_planner_tpu.solvers.al_sqp import (
+    SolverSettings,
+    shift_duals,
+    solve_single_auto,
+)
+
+
+def make_fleet_cycle(
+    spec: OcpSpec,
+    warm: SolverSettings,
+    duals0,
+    solve: Optional[Callable] = None,
+    rescue: Optional[Callable] = None,
+    fresh_init: Optional[Callable] = None,
+    rho0_fail: float = 0.0,
+):
+    """Build ``cycle(scenario, result) -> (scenario, result)`` (pure,
+    jit/scan-safe; caller jits or scans it).
+
+    duals0: batched fresh duals (the diverged-lane reset state).
+    solve: batched solve fn (default: vmapped ``solve_single_auto`` — the
+        fused-kernel dispatch path).
+    rescue: optional straggler pass ``rescue(scenario, result) -> result``
+        (solvers/rescue.make_rescue) chained after the solve.
+    fresh_init: per-batch reset seed ``fresh_init(scenario) -> Primal``
+        (default: initial_primal straight-line seed; the wall-world bench
+        passes A*-plan seeding — the global-planner analog).
+    rho0_fail: if > 0, lanes that FAILED last cycle restart their penalty at
+        this stiffer ρ (measured negative on the flagship, kept as a knob —
+        BENCH_NOTES r3).
+    """
+    if solve is None:
+        solve = jax.vmap(solve_single_auto(spec, warm))
+    if fresh_init is None:
+        fresh_init = lambda s: initial_primal(spec, s)  # noqa: E731
+
+    def cycle(scenario, r):
+        ok = r.converged
+        # NaN-safe divergence test (r4 fix: eq_norm can be NaN on blown-up
+        # lanes; `NaN > 0.5` is False, so a ">"-style mask would silently
+        # CONTINUE them from garbage forever)
+        diverged = jnp.logical_not(
+            jnp.logical_and(r.eq_norm <= 0.5, r.ineq_viol <= 0.5)
+        )
+        x0n = jnp.where(ok[:, None], r.primal.xs[:, 1, :], scenario.x0)
+        # executed-control feedback: u_prev frozen at 0 pins u0 near zero
+        # through the acceleration constraint (r4 workload fix)
+        upn = jnp.where(ok[:, None], r.primal.us[:, 0, :], scenario.u_prev)
+        scenario = dataclasses.replace(scenario, x0=x0n, u_prev=upn)
+        initn = where_tree(
+            ok, warm_start_resample(r.primal, x0n, steps=1, spec=spec), r.primal
+        )
+        dn = where_tree(ok, shift_duals(r.duals, warm, steps=1), r.duals)
+        if rho0_fail > 0:
+            dn = dataclasses.replace(
+                dn, rho=jnp.where(ok, dn.rho, jnp.full_like(dn.rho, rho0_fail))
+            )
+        initn = where_tree(diverged, fresh_init(scenario), initn)
+        dn = where_tree(diverged, duals0, dn)
+        r2 = solve(scenario, initn, dn)
+        if rescue is not None:
+            r2 = rescue(scenario, r2)
+        return scenario, r2
+
+    return cycle

@@ -65,6 +65,7 @@ def make_rescue(
     slots: int,
     rescue_settings: Optional[SolverSettings] = None,
     divergence_threshold: float = 0.5,
+    fresh_init=None,
 ):
     """Build rescue(scenario, result) -> SolveResult for a fixed batch shape.
 
@@ -73,10 +74,15 @@ def make_rescue(
     pick a multiple of 1024 at the default SUBLANES=8. rescue_settings
     defaults to ``settings`` (same budget again = double effective depth for
     stragglers); pass a deeper schedule to reinvest more.
+
+    fresh_init(scenario_k, idx) -> Primal optionally overrides the restart
+    seed for DIVERGED slots (default: initial_primal straight-line seed).
+    ``idx`` is the (k,) int32 gather index of each slot into the full batch
+    — close over per-lane seed data (e.g. A* global plans) and gather with
+    it (the move_base replan-on-recovery analog for wall worlds).
     """
     rs = rescue_settings or settings
     solve = solve_single_auto(spec, rs)
-    duals0 = init_duals(spec, rs, dtype=jnp.float32)
 
     def rescue(scenario, result: SolveResult) -> SolveResult:
         unconv = jnp.logical_not(result.converged)
@@ -125,7 +131,14 @@ def make_rescue(
             )
         )
 
-        fresh_p = initial_primal(spec, scen_k)
+        if fresh_init is None:
+            fresh_p = initial_primal(spec, scen_k)
+        else:
+            fresh_p = fresh_init(scen_k, idx)
+        # dual dtype follows the incoming pipeline (ADVICE r4: hardcoded f32
+        # zeros would inject f32-rounded values into an f64 pipeline if the
+        # dual init ever became non-zero)
+        duals0 = init_duals(spec, rs, dtype=primal_k.xs.dtype)
         fresh_d = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (k,) + a.shape), duals0
         )

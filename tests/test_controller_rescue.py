@@ -63,8 +63,17 @@ def test_controller_rescue_slots_improves_or_matches_conv():
         cfg_rescue, solver=dc.replace(cfg_rescue.solver, iterations=4,
                                       inner_iterations=5)
     )
-    r_plain = Controller(cfg_plain, batch=B).step(scen)
-    r_resc = Controller(cfg_rescue, batch=B).step(scen)
+    # the rescue applies to WARM-budget cycles only (ADVICE r4: its 4x4
+    # continue budget is sized for warm stragglers, not the cold schedule),
+    # so step twice: the cold step is identical for both controllers, and
+    # the second (warm) step is where the rescue engages
+    ctrl_plain, ctrl_resc = Controller(cfg_plain, batch=B), Controller(cfg_rescue, batch=B)
+    r_plain0, r_resc0 = ctrl_plain.step(scen), ctrl_resc.step(scen)
+    np.testing.assert_array_equal(
+        np.asarray(r_plain0.solve.converged), np.asarray(r_resc0.solve.converged)
+    )
+    r_plain = ctrl_plain.step(scen)
+    r_resc = ctrl_resc.step(scen)
     c0 = np.asarray(r_plain.solve.converged)
     c1 = np.asarray(r_resc.solve.converged)
     # rescue never loses a converged lane, and converged lanes' solutions

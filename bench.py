@@ -37,12 +37,17 @@ def _warm_alphas():
     )
 
 
-def _rescue_from_env(spec, warm, default_slots: str = "1024"):
+def _rescue_from_env(spec, warm, default_slots: str = "1024", fresh_init=None):
     """Straggler-rescue builder shared by main/fleet/families modes.
 
     BENCH_RESCUE (slots; 0 disables), BENCH_RESCUE_NAL/NSQP (default 4x4),
     BENCH_RESCUE_ALPHAS (default the 8-candidate ladder — conv-critical on
-    the small straggler batch). Returns rescue(scen, result) or None.
+    the small straggler batch), BENCH_RESCUE_CHAIN (apply the rescue k
+    times: each pass re-compacts the remaining stragglers and CONTINUES
+    them with a fresh regularization/line-search state — the serving
+    chained-rescue lever, r4). fresh_init(scen_k, idx) optionally reseeds
+    DIVERGED slots (e.g. from per-lane global plans). Returns
+    rescue(scen, result) or None.
     """
     slots = int(os.environ.get("BENCH_RESCUE", default_slots))
     if not slots:
@@ -61,7 +66,19 @@ def _rescue_from_env(spec, warm, default_slots: str = "1024"):
             ).split(",")
         ),
     )
-    return make_rescue(spec, warm, slots, rescue_settings=r_set)
+    rescue = make_rescue(
+        spec, warm, slots, rescue_settings=r_set, fresh_init=fresh_init
+    )
+    chain = int(os.environ.get("BENCH_RESCUE_CHAIN", "1"))
+    if chain <= 1:
+        return rescue
+
+    def chained(scen, result):
+        for _k in range(chain):
+            result = rescue(scen, result)
+        return result
+
+    return chained
 
 
 def latency_mode():
@@ -186,22 +203,25 @@ def latency_mode():
     print(
         json.dumps(
             {
-                "metric": "warm_solve_latency_p99_n30_carlike",
-                "value": round(float(np.percentile(lat, 99)), 2),
+                # the BASELINE p99 row binds on the ON-CHIP warm cycle (what
+                # a deployment pays per control cycle); the per-dispatch
+                # percentiles ride in extra because they additionally pay
+                # the axon-tunnel round trip (30-100+ ms, ~2-4x session
+                # variance — r5 measured the SAME code at tunnel p50 130 ms
+                # and on-chip 3.4 ms) that only this test harness pays
+                "metric": "warm_cycle_on_chip_ms_n30_carlike",
+                "value": round(on_chip_ub, 3),
                 "unit": "ms",
-                "vs_baseline": round(100.0 / float(np.percentile(lat, 99)), 2),
+                "vs_baseline": round(100.0 / max(on_chip_ub, 1e-9), 1),
                 "extra": {
-                    "p50_ms": round(float(np.percentile(lat, 50)), 2),
-                    "p95_ms": round(float(np.percentile(lat, 95)), 2),
-                    "n_samples": int(lat.size),
-                    "budget_ms": 100.0,
-                    # which number binds where: per-dispatch percentiles are
-                    # TUNNEL-bound (include the axon round trip every real
-                    # deployment skips); the on-chip chains bound the
-                    # device-side warm cycle itself (BASELINE.md p99 row)
                     "on_chip_unbatched_cycle_ms": round(on_chip_ub, 3),
                     "on_chip_e1_cycle_ms": round(on_chip_e1, 3),
                     "chain_cycles": K,
+                    "budget_ms": 100.0,
+                    "tunnel_p50_ms": round(float(np.percentile(lat, 50)), 2),
+                    "tunnel_p95_ms": round(float(np.percentile(lat, 95)), 2),
+                    "tunnel_p99_ms": round(float(np.percentile(lat, 99)), 2),
+                    "tunnel_n_samples": int(lat.size),
                 },
             }
         )
@@ -267,9 +287,14 @@ def serving_mode():
         rows = jax.tree_util.tree_map(
             lambda *xs: np.concatenate(xs, axis=0), *ab_rows
         )
+        # f32 oracle pass FIRST (x64 breaks the TPU Pallas lowering), then
+        # the f64 golden classifier on CPU
+        audit = stream.audit_abandoned(rows)
         if audit_mode == "golden":
             jax.config.update("jax_enable_x64", True)
-        audit = stream.audit_abandoned(rows, golden=audit_mode == "golden")
+            audit.update(
+                stream.audit_abandoned(rows, golden=True, oracle=False)
+            )
     print(
         json.dumps(
             {
@@ -508,10 +533,24 @@ def families_mode():
         else:
             fresh_init = lambda s, _spec=spec: initial_primal(_spec, s)  # noqa: E731
         # lines carries ~1.4k stragglers at the default budget — its slot
-        # count defaults wider (BENCH_NOTES r4 families footnote)
+        # count defaults wider (BENCH_NOTES r4 families footnote).
+        # BENCH_RESCUE_RESEED=1 (astar lines only): diverged rescue slots
+        # restart from their lane's A* plan seed instead of the straight
+        # line — the move_base replan-on-recovery analog, per-lane data
+        # gathered by the rescue's compaction index.
+        reseed = None
+        if (
+            name == "converter_lines"
+            and lines_seed == "astar"
+            and os.environ.get("BENCH_RESCUE_RESEED", "0") != "0"
+        ):
+            reseed = lambda sk, idx, _p=plans, _spec=spec: primal_from_plan(  # noqa: E731
+                _spec, jnp.take(_p, idx, axis=0), sk.x0
+            )
         rescue = _rescue_from_env(
             spec, warm,
             default_slots="2048" if name == "converter_lines" else "1024",
+            fresh_init=reseed,
         )
 
         from mpc_local_planner_tpu.planner.cycle import make_fleet_cycle

@@ -236,19 +236,24 @@ class JourneyStream:
         rows = jax.tree_util.tree_map(flat, stats.abandoned_scen)
         return rows, int(idx.size)
 
-    def audit_abandoned(self, rows, golden: bool = False) -> dict:
+    def audit_abandoned(
+        self, rows, golden: bool = False, oracle: bool = True
+    ) -> dict:
         """False-abandon audit (VERDICT r4 weak #1): classify every abandoned
         journey FROM ITS ABANDON STATE instead of inferring from fresh-draw
         feasibility rates.
 
-        Runs the generous cold-budget oracle on the captured scenarios; a
-        journey the oracle solves from the stuck pose was abandoned while
-        still solvable — a FALSE abandon (the stream's stuck_limit fired on
-        a solver transient, not on infeasibility). ``golden=True``
-        additionally runs the float64 golden classifier
+        ``oracle=True`` runs the generous cold-budget oracle on the captured
+        scenarios; a journey the oracle solves from the stuck pose was
+        abandoned while still solvable — a FALSE abandon (the stream's
+        stuck_limit fired on a solver transient, not on infeasibility).
+        ``golden=True`` additionally runs the float64 golden classifier
         (benchmarks.classify_feasibility; requires jax_enable_x64, runs on
-        CPU) whose feasibility denominator is budget-independent. Returns
-        counts; host-side and slow — offline use.
+        CPU) whose feasibility denominator is budget-independent. NOTE the
+        f32 oracle pass must run BEFORE the caller enables x64 — the TPU
+        Pallas path does not lower under x64 index types — hence the split
+        flags (bench runs oracle first, then enables x64 for golden).
+        Returns counts; host-side and slow — offline use.
         """
         n = int(rows.x0.shape[0])
         out = {"n_abandoned": n}
@@ -256,10 +261,11 @@ class JourneyStream:
             out["false_abandon_oracle"] = 0
             return out
         scen = jax.tree_util.tree_map(jnp.asarray, rows)
-        r = self._cold_solve(
-            scen, initial_primal(self.spec, scen), self._duals0(n)
-        )
-        out["false_abandon_oracle"] = int(jnp.sum(r.converged))
+        if oracle:
+            r = self._cold_solve(
+                scen, initial_primal(self.spec, scen), self._duals0(n)
+            )
+            out["false_abandon_oracle"] = int(jnp.sum(r.converged))
         if golden:
             from mpc_local_planner_tpu.benchmarks import classify_feasibility
 

@@ -107,6 +107,41 @@ def test_rescue_restarts_nonfinite_lanes_fresh():
     assert bool(jnp.isfinite(out.eq_norm[bad]))
 
 
+def test_rescue_fresh_init_hook_reseeds_diverged_slots(monkeypatch):
+    """fresh_init(scen_k, idx) overrides the DIVERGED-slot restart seed
+    (r5: the wall-family A*-plan reseed). Pin: the hook is called with the
+    compaction gather index, its seed is used for the diverged lane (probe:
+    a seed the solver provably keeps — here we check the hook was invoked
+    and the lane recovered), and sane continue lanes never see it."""
+    spec, tiny, scen, r = _mixed_result()
+    conv0 = np.asarray(r.converged)
+    bad = int(np.nonzero(~conv0)[0][0])
+    r = dc.replace(
+        r,
+        primal=dc.replace(r.primal, xs=r.primal.xs.at[bad].set(jnp.nan)),
+        eq_norm=r.eq_norm.at[bad].set(jnp.nan),
+    )
+    calls = {}
+
+    def fresh(scen_k, idx):
+        calls["idx_shape"] = idx.shape
+        # recognizable but solvable seed: the plain straight-line init
+        return initial_primal(spec, scen_k)
+
+    deeper = dc.replace(tiny, n_al=10, n_sqp=10)
+    rescue = make_rescue(
+        spec, tiny, slots=8, rescue_settings=deeper, fresh_init=fresh
+    )
+    out = jax.jit(rescue)(scen, r)
+    assert calls["idx_shape"] == (8,)  # gather index reached the hook
+    assert bool(jnp.all(jnp.isfinite(out.primal.xs[bad])))
+    # converged lanes still bit-identical through the scatter
+    for b in np.nonzero(conv0)[0]:
+        np.testing.assert_array_equal(
+            np.asarray(out.primal.xs[b]), np.asarray(r.primal.xs[b])
+        )
+
+
 def test_compaction_permutation_properties():
     """The cumsum-based compaction used by the rescue is a stable
     permutation: stragglers first (in lane order), converged lanes after

@@ -37,7 +37,10 @@ def _warm_alphas():
     )
 
 
-def _rescue_from_env(spec, warm, default_slots: str = "1024", fresh_init=None):
+def _rescue_from_env(
+    spec, warm, default_slots: str = "1024", fresh_init=None,
+    default_chain: str = "1",
+):
     """Straggler-rescue builder shared by main/fleet/families modes.
 
     BENCH_RESCUE (slots; 0 disables), BENCH_RESCUE_NAL/NSQP (default 4x4),
@@ -69,7 +72,7 @@ def _rescue_from_env(spec, warm, default_slots: str = "1024", fresh_init=None):
     rescue = make_rescue(
         spec, warm, slots, rescue_settings=r_set, fresh_init=fresh_init
     )
-    chain = int(os.environ.get("BENCH_RESCUE_CHAIN", "1"))
+    chain = int(os.environ.get("BENCH_RESCUE_CHAIN", default_chain))
     if chain <= 1:
         return rescue
 
@@ -486,8 +489,19 @@ def families_mode():
     for name in names:
         spec = family_spec(name, N=30)
         cold = SolverSettings.for_spec(spec)
+        # wall-family shipping defaults (r5 lever sweep, BENCH_NOTES r5):
+        # warm 4x4 + two chained rescue passes + A*-reseed of diverged
+        # slots + stuck-restart 2 measured conv_on_feasible_golden 0.941
+        # against the plan-seeded golden denominator (n=128) at 14.1 ms —
+        # the only combination family still below the 0.93 bar in r4.
+        # Other families keep the flagship 3x4 + single rescue.
+        fam = (
+            {"nal": "4", "chain": "2", "reseed": "1", "stuck": "2"}
+            if name == "converter_lines"
+            else {}
+        )
         warm = SolverSettings(
-            n_al=int(os.environ.get("BENCH_NAL", "3")),
+            n_al=int(os.environ.get("BENCH_NAL", fam.get("nal", "3"))),
             n_sqp=int(os.environ.get("BENCH_NSQP", "4")),
             rho0=float(os.environ.get("BENCH_RHO0", "120.0")),
             reg0=1.0, tol_eq=1e-3, tol_ineq=1e-3,
@@ -542,7 +556,8 @@ def families_mode():
         if (
             name == "converter_lines"
             and lines_seed == "astar"
-            and os.environ.get("BENCH_RESCUE_RESEED", "0") != "0"
+            and os.environ.get("BENCH_RESCUE_RESEED", fam.get("reseed", "0"))
+            != "0"
         ):
             reseed = lambda sk, idx, _p=plans, _spec=spec: primal_from_plan(  # noqa: E731
                 _spec, jnp.take(_p, idx, axis=0), sk.x0
@@ -551,24 +566,41 @@ def families_mode():
             spec, warm,
             default_slots="2048" if name == "converter_lines" else "1024",
             fresh_init=reseed,
+            default_chain=fam.get("chain", "1"),
         )
 
         from mpc_local_planner_tpu.planner.cycle import make_fleet_cycle
 
+        # stuck-restart (r5, the move_base recovery-replan analog): lanes
+        # unconverged BENCH_STUCK_RESTART consecutive cycles restart from
+        # the plan seed with fresh duals — persistent wall-world stragglers
+        # are basin-trapped and continue never escapes
+        stuck_restart = int(
+            os.environ.get("BENCH_STUCK_RESTART", fam.get("stuck", "0"))
+        )
         cycle = jax.jit(
             make_fleet_cycle(
-                spec, warm, duals0, rescue=rescue, fresh_init=fresh_init
+                spec, warm, duals0, rescue=rescue, fresh_init=fresh_init,
+                stuck_restart=stuck_restart,
             )
         )
         r = cold_solve(scen, jax.jit(fresh_init)(scen), duals0)
         _ = int(jnp.sum(r.converged))
-        for _i in range(2):
+        stuck = jnp.zeros((batch,), jnp.int32)
+
+        def run_cycle(scen, r, stuck):
+            if stuck_restart:
+                return cycle(scen, r, stuck)
             scen, r = cycle(scen, r)
+            return scen, r, stuck
+
+        for _i in range(2):
+            scen, r, stuck = run_cycle(scen, r, stuck)
         _ = int(jnp.sum(r.converged))
         iters = 6
         t0 = time.perf_counter()
         for _i in range(iters):
-            scen, r = cycle(scen, r)
+            scen, r, stuck = run_cycle(scen, r, stuck)
         n_conv = int(jnp.sum(r.converged))
         dt = (time.perf_counter() - t0) / iters
         # oracle freshness (ADVICE r4): by oracle time scen.x0 has advanced
@@ -609,6 +641,12 @@ def families_mode():
                 np.asarray(r.converged[:ncal]),
                 np.asarray(feas[:ncal]),
                 spec,
+                # the classifier gets the SAME seed as the oracle (plan-
+                # seeded for wall worlds): a worse-seeded golden pipeline
+                # undercounts the denominator (measured 15/128 r5)
+                jax.tree_util.tree_map(
+                    lambda a: np.asarray(a[:ncal]), oracle_seed
+                ),
             )
         print(json.dumps({"family": name, **table[name]}), flush=True)
 
@@ -623,20 +661,33 @@ def families_mode():
         jax.config.update("jax_enable_x64", True)
         from mpc_local_planner_tpu.benchmarks import classify_feasibility
 
-        for name, (scen_c, conv_c, feas_c, spec_c) in calib_inputs.items():
+        # the classifier certifies at the SOLVER'S feasibility standard
+        # (1e-3) by default: the r5 run at the classifier's old 1e-5 found
+        # the fresh-seeded oracle certifying 9/64 instances at 1e-3 that
+        # 1e-5-golden called unknown — a tolerance mismatch, not an oracle
+        # error. The denominator of record is "a 1e-3-feasible point is
+        # certified by the f64 pipeline OR by the oracle's own converged
+        # point" (a certificate is a certificate, whoever found it).
+        cal_tol = float(os.environ.get("BENCH_CALIBRATE_TOL", "1e-3"))
+        for name, (scen_c, conv_c, feas_c, spec_c, seed_c) in calib_inputs.items():
             t0 = time.perf_counter()
             with jax.default_device(jax.devices("cpu")[0]):
                 labels, details = classify_feasibility(
                     spec_c,
                     jax.tree_util.tree_map(jnp.asarray, scen_c),
                     max_instances=ncal,
+                    tol=cal_tol,
+                    seed_primal=jax.tree_util.tree_map(jnp.asarray, seed_c),
                 )
             import numpy as np
 
             gold = np.asarray([l == "feasible" for l in labels])
             n_gold = max(int(gold.sum()), 1)
+            union = gold | feas_c  # any 1e-3 certificate counts
+            n_union = max(int(union.sum()), 1)
             cal = {
                 "n": ncal,
+                "tol": cal_tol,
                 "golden_feasible_frac": round(float(gold.mean()), 3),
                 "oracle_feasible_frac_sub": round(float(feas_c.mean()), 3),
                 "oracle_golden_agreement": round(
@@ -644,9 +695,28 @@ def families_mode():
                 ),
                 "oracle_missed_feasible": int((gold & ~feas_c).sum()),
                 "oracle_false_feasible": int((~gold & feas_c).sum()),
+                "conv_frac_sub": round(float(conv_c.mean()), 3),
                 "conv_on_feasible_golden": round(
                     float((conv_c & gold).sum() / n_gold), 3
                 ),
+                "conv_on_feasible_union": round(
+                    float((conv_c & union).sum() / n_union), 3
+                ),
+                # lane-level diagnosis of the gap: which pipeline stage
+                # certified the golden-feasible instances the warm path
+                # missed — 'slsqp'-only instances are beyond any
+                # fixed-budget f32 path (the f64 AL cold at 240 iters
+                # could not certify them either)
+                "warm_missed_certified_by": {
+                    c: sum(
+                        1
+                        for i in range(ncal)
+                        if gold[i]
+                        and not conv_c[i]
+                        and details["per_instance"][i]["certified_by"] == c
+                    )
+                    for c in ("al64", "slsqp")
+                },
                 "classify_s": round(time.perf_counter() - t0, 1),
             }
             table[name]["golden_calibration"] = cal

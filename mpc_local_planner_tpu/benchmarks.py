@@ -361,6 +361,7 @@ def classify_feasibility(
     max_instances: int = 64,
     tol: float = 1e-5,
     maxiter: int = 600,
+    seed_primal=None,
 ):
     """Ensemble feasibility oracle: classify instances with the float64
     golden solver at a generous budget (SURVEY.md §6 failure-detection row —
@@ -411,7 +412,20 @@ def classify_feasibility(
         scenario,
     )
     cold = SolverSettings.for_spec(spec)
-    init = initial_primal(spec, scen64)
+    if seed_primal is None:
+        init = initial_primal(spec, scen64)
+    else:
+        # caller-provided seed (e.g. A*-plan-seeded primals for wall
+        # worlds — r5: the straight-line-seeded f64 pipeline failed to
+        # certify 15/128 instances the plan-seeded oracle provably solves
+        # at 1e-3; the classifier must be seeded at least as well as the
+        # solver under test or its denominator undercounts)
+        init = take(
+            lambda a: jnp.asarray(a[:n], jnp.float64)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+            else a[:n],
+            seed_primal,
+        )
     duals = take(
         lambda a: jnp.broadcast_to(a, (n,) + a.shape),
         init_duals(spec, cold, dtype=jnp.float64),
@@ -427,21 +441,40 @@ def classify_feasibility(
 
     labels = []
     viols = []
+    per_instance = []
     for b in range(n):
         scen_b = take(lambda a: a[b], scen64)
         primal_b = take(lambda a: a[b], r.primal)
-        viol = viol_at(primal_b, scen_b)
+        al_viol = viol_at(primal_b, scen_b)
+        viol = al_viol
+        used_slsqp = False
         if viol > tol:
             # polish with the independent golden solver from the AL iterate
             try:
                 sol_g, _res = solve_golden(
                     spec, scen_b, init=primal_b, tol=1e-10, maxiter=maxiter
                 )
-                viol = min(viol, viol_at(sol_g, scen_b))
+                pv = viol_at(sol_g, scen_b)
+                used_slsqp = pv < viol
+                viol = min(viol, pv)
             except Exception:  # noqa: BLE001 — SLSQP failures count as unknown
                 pass
         viols.append(viol)
         labels.append("feasible" if viol <= tol else "unknown")
+        # which pipeline stage certified (lane-level diagnosis, r5): an
+        # instance only SLSQP could certify is beyond any fixed-budget f32
+        # path; one the f64 AL certified directly is budget/precision-hard
+        per_instance.append(
+            {
+                "al_viol": float(al_viol),
+                "viol": float(viol),
+                "certified_by": (
+                    "al64" if al_viol <= tol
+                    else ("slsqp" if viol <= tol else "none")
+                ),
+                "used_slsqp": used_slsqp,
+            }
+        )
     feas = labels.count("feasible")
     return labels, {
         "n": n,
@@ -449,4 +482,5 @@ def classify_feasibility(
         "max_viol_on_feasible": float(
             np.max([v for v, l in zip(viols, labels) if l == "feasible"], initial=0.0)
         ),
+        "per_instance": per_instance,
     }

@@ -263,6 +263,13 @@ class SolverNs:
     rescue_slots: int = 0
     rescue_iterations: int = 0
     rescue_inner_iterations: int = 0
+    # per-lane recovery replan (r5, the move_base recovery-behavior
+    # analog): a lane unconverged this many CONSECUTIVE cycles drops its
+    # warm state and restarts from the fresh seed (plan-seeded when a plan
+    # is given) with fresh duals. Persistent stragglers in cluttered worlds
+    # are basin-trapped — continuing never escapes, a replanned restart
+    # does (measured on the wall family, BENCH_NOTES r5). 0 disables.
+    stuck_restart_cycles: int = 0
     # wall-clock cycle budget in ms (parity: `solver.ipopt.max_cpu_time` —
     # SURVEY Appendix A). 0 disables. Semantics differ from IPOPT's
     # mid-solve clock check: granularity is ONE AL PHASE, and the budget is

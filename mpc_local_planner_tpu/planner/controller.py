@@ -94,6 +94,7 @@ class Controller:
         self._last_goal: Optional[jax.Array] = None
         self._last_ok = None
         self._last_diverged = None
+        self._stuck = None  # per-lane consecutive-failure counter (r5)
         self._steps_since_reinit = 0
         # grid adaptation (parity: grid.variable_grid.grid_adaptation.*):
         # the live spec tracks the current horizon N; each distinct N gets
@@ -424,6 +425,7 @@ class Controller:
         self._last_goal = None
         self._last_ok = None
         self._last_diverged = None
+        self._stuck = None
         self._steps_since_reinit = 0
         self._spec = self.spec
 
@@ -548,6 +550,14 @@ class Controller:
             changed = self._goal_changed_mask(goal)
             ok = jnp.logical_and(self._last_ok, ~changed)
             diverged = jnp.logical_or(self._last_diverged, changed)
+            # per-lane recovery replan (solver.stuck_restart_cycles, r5):
+            # lanes unconverged S consecutive cycles drop their warm state
+            # and restart from the fresh (plan-seeded when available) init
+            # — the move_base recovery-behavior analog; basin-trapped
+            # stragglers in cluttered worlds never escape by continuing
+            S = self.config.solver.stuck_restart_cycles
+            if S > 0 and self._stuck is not None:
+                diverged = jnp.logical_or(diverged, self._stuck >= S)
             if self._spec.min_time and self._spec.variable_dt:
                 advanced = warm_start_resample(
                     self._primal, scenario.x0, steps=shift_steps, spec=self._spec
@@ -566,7 +576,13 @@ class Controller:
             )
             init = sel(ok, advanced, self._primal)
             duals = sel(ok, adv_duals, self._duals)
-            fresh_p = initial_primal(self._spec, scenario)
+            # per-lane resets seed from the plan when one is given (the
+            # restart IS the recovery replan; a straight line through the
+            # obstacle field would re-trap the lane)
+            if plan is not None and self.config.grid.warm_start:
+                fresh_p = primal_from_plan(self._spec, plan, scenario.x0)
+            else:
+                fresh_p = initial_primal(self._spec, scenario)
             init = sel(diverged, fresh_p, init)
             duals = sel(diverged, self._fresh_duals(), duals)
             # re-anchor stage 0 to the measured state on EVERY lane: the
@@ -592,6 +608,17 @@ class Controller:
         result = self._solver_fn(warm=not cold)(scenario, init, duals)
 
         self._steps_since_reinit = 0 if cold else self._steps_since_reinit + 1
+        if self.config.solver.stuck_restart_cycles > 0:
+            if cold or self._stuck is None:
+                self._stuck = jnp.zeros(result.converged.shape, jnp.int32)
+            else:
+                # restarted lanes get a fresh patience window regardless of
+                # this cycle's outcome (their iterate was rebased)
+                self._stuck = jnp.where(
+                    jnp.logical_or(result.converged, diverged),
+                    0,
+                    self._stuck + 1,
+                )
         self._primal, self._duals = result.primal, result.duals
         self._last_ok = result.converged
         # NaN-safe: eq_norm can be NaN on a blown-up lane, and `NaN > 0.5`

@@ -47,6 +47,7 @@ def make_fleet_cycle(
     rescue: Optional[Callable] = None,
     fresh_init: Optional[Callable] = None,
     rho0_fail: float = 0.0,
+    stuck_restart: int = 0,
 ):
     """Build ``cycle(scenario, result) -> (scenario, result)`` (pure,
     jit/scan-safe; caller jits or scans it).
@@ -62,20 +63,22 @@ def make_fleet_cycle(
     rho0_fail: if > 0, lanes that FAILED last cycle restart their penalty at
         this stiffer ρ (measured negative on the flagship, kept as a knob —
         BENCH_NOTES r3).
+    stuck_restart: if > 0, the cycle carries a per-lane consecutive-failure
+        counter and a lane stuck ``stuck_restart`` cycles RESTARTS from
+        ``fresh_init`` with fresh duals — the per-lane analog of move_base
+        recovery replanning after repeated planner failures (r5: the
+        wall-family persistent stragglers are basin-trapped; continuing
+        never escapes, a plan-seeded restart does). The cycle signature
+        becomes ``cycle(scenario, result, stuck) -> (scenario, result,
+        stuck)`` with ``stuck`` an (B,) int32 array (zeros to start).
     """
     if solve is None:
         solve = jax.vmap(solve_single_auto(spec, warm))
     if fresh_init is None:
         fresh_init = lambda s: initial_primal(spec, s)  # noqa: E731
 
-    def cycle(scenario, r):
+    def body(scenario, r, reset_mask):
         ok = r.converged
-        # NaN-safe divergence test (r4 fix: eq_norm can be NaN on blown-up
-        # lanes; `NaN > 0.5` is False, so a ">"-style mask would silently
-        # CONTINUE them from garbage forever)
-        diverged = jnp.logical_not(
-            jnp.logical_and(r.eq_norm <= 0.5, r.ineq_viol <= 0.5)
-        )
         x0n = jnp.where(ok[:, None], r.primal.xs[:, 1, :], scenario.x0)
         # executed-control feedback: u_prev frozen at 0 pins u0 near zero
         # through the acceleration constraint (r4 workload fix)
@@ -89,11 +92,34 @@ def make_fleet_cycle(
             dn = dataclasses.replace(
                 dn, rho=jnp.where(ok, dn.rho, jnp.full_like(dn.rho, rho0_fail))
             )
-        initn = where_tree(diverged, fresh_init(scenario), initn)
-        dn = where_tree(diverged, duals0, dn)
+        initn = where_tree(reset_mask, fresh_init(scenario), initn)
+        dn = where_tree(reset_mask, duals0, dn)
         r2 = solve(scenario, initn, dn)
         if rescue is not None:
             r2 = rescue(scenario, r2)
         return scenario, r2
 
-    return cycle
+    def diverged_mask(r):
+        # NaN-safe divergence test (r4 fix: eq_norm can be NaN on blown-up
+        # lanes; `NaN > 0.5` is False, so a ">"-style mask would silently
+        # CONTINUE them from garbage forever)
+        return jnp.logical_not(
+            jnp.logical_and(r.eq_norm <= 0.5, r.ineq_viol <= 0.5)
+        )
+
+    if stuck_restart <= 0:
+        def cycle(scenario, r):
+            return body(scenario, r, diverged_mask(r))
+
+        return cycle
+
+    def cycle_stuck(scenario, r, stuck):
+        reset = jnp.logical_or(diverged_mask(r), stuck >= stuck_restart)
+        scenario, r2 = body(scenario, r, reset)
+        # restarted lanes get a fresh patience window (their iterate was
+        # rebased onto the seed; the next stuck_restart cycles accumulate
+        # continue-iterations in the new basin before another restart)
+        stuck = jnp.where(jnp.logical_or(r2.converged, reset), 0, stuck + 1)
+        return scenario, r2, stuck
+
+    return cycle_stuck

@@ -274,7 +274,9 @@ class JourneyStream:
                     self.spec, scen, max_instances=n
                 )
             out["false_abandon_golden"] = labels.count("feasible")
-            out["golden_details"] = details
+            out["golden_details"] = {
+                k: v for k, v in details.items() if k != "per_instance"
+            }
         return out
 
     # -- compiled block ------------------------------------------------------ #

@@ -92,6 +92,34 @@ def test_diverged_lanes_reset_with_fresh_init_hook():
     assert bool(jnp.all(jnp.isfinite(r2.primal.xs[bad])))
 
 
+def test_stuck_restart_rebases_persistent_stragglers():
+    """stuck_restart=S (r5): a lane unconverged S consecutive cycles
+    restarts from fresh_init with fresh duals; the SAME compiled cycle with
+    a zero counter continues instead — other lanes are bit-identical (lane
+    independence under vmap), the restarted lane differs, and its counter
+    resets."""
+    spec, warm, scen, duals0, r = _fixture()
+    conv = np.asarray(r.converged)
+    if conv[0]:  # force lane 0 to be a sane straggler
+        r = dc.replace(r, converged=r.converged.at[0].set(False))
+    cyc = jax.jit(make_fleet_cycle(spec, warm, duals0, stuck_restart=2))
+    stuck_hot = jnp.zeros((B,), jnp.int32).at[0].set(2)   # at the limit
+    stuck_cold = jnp.zeros((B,), jnp.int32)
+    s_a, r_a, st_a = cyc(scen, r, stuck_hot)
+    s_b, r_b, st_b = cyc(scen, r, stuck_cold)
+    # the restarted lane was rebased (different iterate than continue)
+    assert not np.allclose(
+        np.asarray(r_a.primal.xs[0]), np.asarray(r_b.primal.xs[0])
+    )
+    # counter resets on restart
+    assert int(st_a[0]) == 0
+    # every other lane is bit-identical between the two runs
+    for b in range(1, B):
+        np.testing.assert_array_equal(
+            np.asarray(r_a.primal.xs[b]), np.asarray(r_b.primal.xs[b])
+        )
+
+
 def test_rescue_hook_is_chained_after_solve():
     spec, warm, scen, duals0, r = _fixture()
     seen = {}

@@ -115,6 +115,45 @@ def test_max_cycle_ms_unset_calibration_raises():
 
 
 # --------------------------------------------------------------------------- #
+# stuck_restart_cycles — per-lane recovery replan
+# --------------------------------------------------------------------------- #
+def test_stuck_restart_cycles_counts_and_restarts(monkeypatch):
+    """Counter bookkeeping for the per-lane recovery replan: a SANE
+    straggler's counter climbs to S, the restart cycle resets it (fresh
+    patience window), converged lanes stay at 0. The solver is canned so
+    lane 0 fails sane forever (a genuinely-diverged lane resets through the
+    divergence path every cycle and never exercises the stuck path)."""
+    B = 3
+    cfg = load_config(
+        {**BASE, "solver": {**BASE["solver"], "stuck_restart_cycles": 2}}
+    )
+    ctrl = Controller(cfg, batch=B)
+    scen = _scen(B)
+    real = ctrl.step(scen)  # cold (real solve; establishes state shapes)
+    base_result = real.solve
+
+    def fake_solver_fn(warm):
+        def run(scenario, init, duals):
+            return dc.replace(
+                base_result,
+                converged=jnp.asarray([False, True, True]),
+                eq_norm=jnp.full((B,), 1e-2),   # sane: above tol, below 0.5
+                ineq_viol=jnp.zeros((B,)),
+            )
+
+        return run
+
+    monkeypatch.setattr(ctrl, "_solver_fn", fake_solver_fn)
+    seen = []
+    for _k in range(5):
+        ctrl.step(scen)
+        seen.append(int(ctrl._stuck[0]))
+        assert int(ctrl._stuck[1]) == 0  # converged lanes never accumulate
+    # climbs 1, 2 → restart fires at >= 2 → reset → climbs again
+    assert seen == [1, 2, 0, 1, 2], seen
+
+
+# --------------------------------------------------------------------------- #
 # polish_launches — post-solve accuracy pass
 # --------------------------------------------------------------------------- #
 def test_polish_fold_monotone_and_pass_through():

@@ -67,6 +67,7 @@ SLOW_TESTS = {
     "test_fused_sublane8_tile_geometry_smoke",
     "test_min_time_floor_objective_binds_not_switch_stages",
     "test_quadratic_warm_floor_within_1e2",
+    "test_polish_launches_shrink_min_time_switch_floor",
     # closed loops / grid adaptation
     "test_closed_loop_horizon_shrinks_toward_goal",
     "test_closed_loop_horizon_grows_when_goal_recedes",

@@ -109,6 +109,48 @@ def test_min_time_floor_objective_binds_not_switch_stages():
     assert n_checked >= 3, n_checked
 
 
+def test_polish_launches_shrink_min_time_switch_floor():
+    """`solver.polish_launches`' measured mechanism (BENCH_NOTES r4 accuracy
+    floor): chaining extra warm launches from the converged iterate shrinks
+    the bang-bang switch-stage control error vs the f64 golden (lane-0
+    probe measured du 0.16 → 0.06 at 4 launches; across this 6-lane
+    fixture the medians measure 0.165 → 0.047). Pin: per-lane the polished
+    error never regresses beyond f32 noise, and the MEDIAN floor shrinks
+    by at least ~2x. The worst lane may barely move (measured 0.263 →
+    0.243 on one lane — its switch ambiguity is not launch-limited), so no
+    absolute max is asserted."""
+    from mpc_local_planner_tpu.core.tree import where_tree
+
+    spec = config3_carlike_min_time(N=8, obstacle_cap=4)
+    scen_w, initw, dw = _warm_state(spec, min_time=True)
+    out0 = fused_solve(spec, WARM, scen_w, initw, dw, interpret=True)
+    out = out0
+    for _k in range(4):
+        nxt = fused_solve(
+            spec, WARM, scen_w, out.primal, out.duals, interpret=True
+        )
+        # the controller's polish keep-rule: take a re-solve only where it
+        # converged
+        out = where_tree(nxt.converged, nxt, out)
+    du0s, dups = [], []
+    for b in range(scen_w.x0.shape[0]):
+        if not (bool(out0.converged[b]) and bool(out.converged[b])):
+            continue
+        pf0, sol, res = _polish(spec, scen_w, out0.primal, b)
+        if not res.success:
+            continue
+        pfp = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a[b], jnp.float64), out.primal
+        )
+        du0s.append(float(jnp.max(jnp.abs(pf0.us - sol.us))))
+        dups.append(float(jnp.max(jnp.abs(pfp.us - sol.us))))
+    assert len(dups) >= 3, dups
+    for d0, dp in zip(du0s, dups):
+        assert dp <= d0 + 5e-3, (d0, dp)
+    m0, mp = float(np.median(du0s)), float(np.median(dups))
+    assert mp <= 0.6 * m0 + 1e-3, (du0s, dups)
+
+
 def test_quadratic_warm_floor_within_1e2():
     spec = dc.replace(
         config3_carlike_min_time(N=8, obstacle_cap=4),

@@ -211,14 +211,18 @@ def latency_mode():
                 # percentiles ride in extra because they additionally pay
                 # the axon-tunnel round trip (30-100+ ms, ~2-4x session
                 # variance — r5 measured the SAME code at tunnel p50 130 ms
-                # and on-chip 3.4 ms) that only this test harness pays
+                # and on-chip ~1-3 ms) that only this test harness pays.
+                # Headline = the E=1 (singleton-vmap) chain: that IS the
+                # Controller's single-robot dispatch since r5 (the
+                # rank-reduced unbatched lowering measured 2.8x slower —
+                # BENCH_NOTES r5); the raw unbatched number rides in extra.
                 "metric": "warm_cycle_on_chip_ms_n30_carlike",
-                "value": round(on_chip_ub, 3),
+                "value": round(on_chip_e1, 3),
                 "unit": "ms",
-                "vs_baseline": round(100.0 / max(on_chip_ub, 1e-9), 1),
+                "vs_baseline": round(100.0 / max(on_chip_e1, 1e-9), 1),
                 "extra": {
-                    "on_chip_unbatched_cycle_ms": round(on_chip_ub, 3),
                     "on_chip_e1_cycle_ms": round(on_chip_e1, 3),
+                    "on_chip_unbatched_cycle_ms": round(on_chip_ub, 3),
                     "chain_cycles": K,
                     "budget_ms": 100.0,
                     "tunnel_p50_ms": round(float(np.percentile(lat, 50)), 2),

@@ -216,7 +216,26 @@ class Controller:
                         r = where_tree(r2.converged, r2, r)
                     return r
 
-                fn = jax.jit(jax.vmap(_solve) if self.batch is not None else _solve)
+                if self.batch is not None:
+                    fn = jax.jit(jax.vmap(_solve))
+                else:
+                    # singleton-vmap dispatch (r5): the rank-reduced
+                    # unbatched lowering measures 2.8x SLOWER than the
+                    # identical solve vmapped over a 1-lane axis on v5e
+                    # (3.26 vs 1.16 ms warm cycle, same scenario —
+                    # BENCH_NOTES r5 latency note); XLA's layout/fusion
+                    # choices on batched shapes win even at batch 1, so
+                    # the single-robot path expands → solves → squeezes
+                    def _solve1(scenario, init, duals):
+                        up = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                            lambda a: a[None], t
+                        )
+                        out = jax.vmap(_solve)(
+                            up(scenario), up(init), up(duals)
+                        )
+                        return jax.tree_util.tree_map(lambda a: a[0], out)
+
+                    fn = jax.jit(_solve1)
             self._cache[key] = fn
         return fn
 
@@ -254,11 +273,23 @@ class Controller:
             else:
                 solve_one = self._solve_single
                 spec = self._spec
-                probe = jax.jit(
-                    jax.vmap(lambda s, i, d: solve_one(spec, one, s, i, d))
-                    if self.batch is not None
-                    else lambda s, i, d: solve_one(spec, one, s, i, d)
-                )
+                if self.batch is not None:
+                    probe = jax.jit(
+                        jax.vmap(lambda s, i, d: solve_one(spec, one, s, i, d))
+                    )
+                else:
+                    # match the shipped singleton-vmap dispatch (the budget
+                    # must be calibrated on the path the cycles actually run)
+                    def _probe1(s, i, d):
+                        up = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                            lambda a: a[None], t
+                        )
+                        out = jax.vmap(
+                            lambda s_, i_, d_: solve_one(spec, one, s_, i_, d_)
+                        )(up(s), up(i), up(d))
+                        return jax.tree_util.tree_map(lambda a: a[0], out)
+
+                    probe = jax.jit(_probe1)
             init = initial_primal(self._spec, scenario)
             duals = self._fresh_duals()
             float(jnp.sum(probe(scenario, init, duals).cost))  # compile

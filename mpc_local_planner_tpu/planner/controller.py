@@ -58,6 +58,25 @@ class ControlResult:
     solve: SolveResult
 
 
+def _singleton_vmap(fn):
+    """Wrap an unbatched solve as vmap over an injected 1-lane axis.
+
+    The rank-reduced unbatched lowering measures 2.8x SLOWER than the
+    identical solve vmapped over a singleton axis on v5e (3.26 vs 1.16 ms
+    warm cycle, same scenario — BENCH_NOTES r5): XLA's layout/fusion
+    choices on batched shapes win even at batch 1. One helper so the
+    dispatch path and the max_cycle_ms calibration probe cannot drift
+    apart (they must measure the same program shape).
+    """
+
+    def run(*args):
+        up = lambda t: jax.tree_util.tree_map(lambda a: a[None], t)  # noqa: E731
+        out = jax.vmap(fn)(*(up(a) for a in args))
+        return jax.tree_util.tree_map(lambda a: a[0], out)
+
+    return run
+
+
 class Controller:
     """Host-side orchestration around the compiled batched solve."""
 
@@ -155,11 +174,14 @@ class Controller:
             spec = self._spec
             solve_one = self._solve_single
             # post-solve polish launches (solver.polish_launches): al_sqp
-            # only — lsq_lm's soft-penalty iterate has no switch-stage
-            # sharpening to gain from extra warm launches
+            # warm cycles only — lsq_lm's soft-penalty iterate has no
+            # switch-stage sharpening to gain, and the cold 16x15 schedule
+            # already sits past the warm budget's accuracy floor (review
+            # r5: polishing cold solves paid k extra launches for nothing
+            # and made the cold program differ from the unpolished one)
             pol = (
                 self.config.solver.polish_launches
-                if solve_one is solve_single
+                if solve_one is solve_single and warm
                 else 0
             )
             pol_settings = self.warm_settings
@@ -219,23 +241,9 @@ class Controller:
                 if self.batch is not None:
                     fn = jax.jit(jax.vmap(_solve))
                 else:
-                    # singleton-vmap dispatch (r5): the rank-reduced
-                    # unbatched lowering measures 2.8x SLOWER than the
-                    # identical solve vmapped over a 1-lane axis on v5e
-                    # (3.26 vs 1.16 ms warm cycle, same scenario —
-                    # BENCH_NOTES r5 latency note); XLA's layout/fusion
-                    # choices on batched shapes win even at batch 1, so
-                    # the single-robot path expands → solves → squeezes
-                    def _solve1(scenario, init, duals):
-                        up = lambda t: jax.tree_util.tree_map(  # noqa: E731
-                            lambda a: a[None], t
-                        )
-                        out = jax.vmap(_solve)(
-                            up(scenario), up(init), up(duals)
-                        )
-                        return jax.tree_util.tree_map(lambda a: a[0], out)
-
-                    fn = jax.jit(_solve1)
+                    # singleton-vmap dispatch (r5, measured 2.8x — see
+                    # _singleton_vmap)
+                    fn = jax.jit(_singleton_vmap(_solve))
             self._cache[key] = fn
         return fn
 
@@ -273,23 +281,13 @@ class Controller:
             else:
                 solve_one = self._solve_single
                 spec = self._spec
+                one_solve = lambda s, i, d: solve_one(spec, one, s, i, d)  # noqa: E731
                 if self.batch is not None:
-                    probe = jax.jit(
-                        jax.vmap(lambda s, i, d: solve_one(spec, one, s, i, d))
-                    )
+                    probe = jax.jit(jax.vmap(one_solve))
                 else:
                     # match the shipped singleton-vmap dispatch (the budget
                     # must be calibrated on the path the cycles actually run)
-                    def _probe1(s, i, d):
-                        up = lambda t: jax.tree_util.tree_map(  # noqa: E731
-                            lambda a: a[None], t
-                        )
-                        out = jax.vmap(
-                            lambda s_, i_, d_: solve_one(spec, one, s_, i_, d_)
-                        )(up(s), up(i), up(d))
-                        return jax.tree_util.tree_map(lambda a: a[0], out)
-
-                    probe = jax.jit(_probe1)
+                    probe = jax.jit(_singleton_vmap(one_solve))
             init = initial_primal(self._spec, scenario)
             duals = self._fresh_duals()
             float(jnp.sum(probe(scenario, init, duals).cost))  # compile
@@ -374,7 +372,9 @@ class Controller:
         state = (
             self._primal, self._duals, self._last_goal,
             self._last_ok, self._last_diverged, self._steps_since_reinit,
+            self._stuck,
         )
+        phase_ms = self._phase_ms
         live_N, old_live = self._spec.N, self._spec
 
         # validate the new config on a THROWAWAY instance first: __init__
@@ -384,6 +384,13 @@ class Controller:
         # cache still serve the old problem)
         fresh = Controller(new_cfg, batch=self.batch, dtype=self.dtype)
         self.__dict__.update(fresh.__dict__)
+
+        # the phase-time calibration is a HARDWARE property — it survives
+        # any retune; re-derive the warm cap from the stored measurement so
+        # a mid-run reconfigure doesn't silently re-run the 4-solve
+        # calibration probe inside the control loop (review r5)
+        if phase_ms is not None and self.config.solver.max_cycle_ms > 0:
+            self.calibrate_cycle_budget(None, phase_ms=phase_ms)
 
         if state[0] is None:
             return False
@@ -405,7 +412,13 @@ class Controller:
         (
             self._primal, self._duals, self._last_goal,
             self._last_ok, self._last_diverged, self._steps_since_reinit,
+            stuck,
         ) = state
+        # the stuck counter survives only if the feature is still enabled
+        # (shapes match whenever the warm state does)
+        self._stuck = (
+            stuck if self.config.solver.stuck_restart_cycles > 0 else None
+        )
         self._spec = candidate
         return True
 
@@ -598,15 +611,8 @@ class Controller:
                     self._primal, scenario.x0, steps=shift_steps, spec=self._spec
                 )
             adv_duals = shift_duals(self._duals, self.settings, steps=shift_steps)
-            sel = lambda m, a, b: jax.tree_util.tree_map(  # noqa: E731
-                lambda x, y: jnp.where(
-                    m.reshape(m.shape + (1,) * (x.ndim - m.ndim)), x, y
-                ),
-                a,
-                b,
-            )
-            init = sel(ok, advanced, self._primal)
-            duals = sel(ok, adv_duals, self._duals)
+            init = where_tree(ok, advanced, self._primal)
+            duals = where_tree(ok, adv_duals, self._duals)
             # per-lane resets seed from the plan when one is given (the
             # restart IS the recovery replan; a straight line through the
             # obstacle field would re-trap the lane)
@@ -614,8 +620,8 @@ class Controller:
                 fresh_p = primal_from_plan(self._spec, plan, scenario.x0)
             else:
                 fresh_p = initial_primal(self._spec, scenario)
-            init = sel(diverged, fresh_p, init)
-            duals = sel(diverged, self._fresh_duals(), duals)
+            init = where_tree(diverged, fresh_p, init)
+            duals = where_tree(diverged, self._fresh_duals(), duals)
             # re-anchor stage 0 to the measured state on EVERY lane: the
             # solver treats x_0 as fixed data, and the continue branch would
             # otherwise keep iterating (and command controls) from last

@@ -31,13 +31,12 @@ import jax
 import jax.numpy as jnp
 
 from mpc_local_planner_tpu.core.tree import where_tree
-from mpc_local_planner_tpu.ocp.grid import initial_primal, warm_start_resample
+from mpc_local_planner_tpu.ocp.grid import initial_primal
 from mpc_local_planner_tpu.ocp.spec import OcpSpec, Scenario
 from mpc_local_planner_tpu.solvers.al_sqp import (
     SolveResult,
     SolverSettings,
     init_duals,
-    shift_duals,
     solve_single,
 )
 
@@ -121,6 +120,42 @@ class JourneyStream:
         self._cold_solve = jax.jit(
             jax.vmap(lambda s, i, d: solve_single(spec, self.cold, s, i, d))
         )
+        self._fleet_cycles = {}  # per-(E, dtype) composed warm-cycle bodies
+
+    def _fleet_cycle(self, E: int, dtype):
+        """The shared advance/continue/reset body (planner/cycle.py) with
+        the stream's chained rescue as its rescue hook — review r5: the
+        serving loop must COMPOSE the policy the bench fleet runs, not
+        carry a third copy of it (every past policy bug lived in the
+        duplicated layer)."""
+        key = (E, str(dtype))
+        fn = self._fleet_cycles.get(key)
+        if fn is None:
+            from mpc_local_planner_tpu.planner.cycle import make_fleet_cycle
+
+            rescue = None
+            if self.settings.chained_rescue:
+                def rescue(s, r2):
+                    # one chained re-solve on still-unconverged lanes
+                    # (re-entering resets regularization/line-search state —
+                    # the r4 probe's decisive straggler lever; with
+                    # early_exit the batched while_loop freezes converged
+                    # lanes, so this costs only the stragglers' phases)
+                    r3 = self._warm_solve(s, r2.primal, r2.duals)
+                    return where_tree(jnp.logical_not(r2.converged), r3, r2)
+
+            # the cached closure must hold CONCRETE arrays: _fleet_cycle is
+            # typically first invoked inside a caller's jit trace, and a
+            # duals0 built there would be a tracer that leaks into every
+            # later trace reusing the cache (UnexpectedTracerError)
+            with jax.ensure_compile_time_eval():
+                duals0 = self._duals0(E, dtype=dtype)
+            fn = make_fleet_cycle(
+                self.spec, self.warm, duals0,
+                solve=self._warm_solve, rescue=rescue,
+            )
+            self._fleet_cycles[key] = fn
+        return fn
 
     # -- state bring-up ---------------------------------------------------- #
     def _duals0(self, E: int, dtype=jnp.float32):
@@ -143,31 +178,16 @@ class JourneyStream:
     # -- one cycle (pure; jit/scan-safe) ------------------------------------ #
     def cycle(self, state: StreamState) -> Tuple[StreamState, CycleStats]:
         spec, st = self.spec, self.settings
-        s, rr = state.scen, state.result
-        E = s.x0.shape[0]
-        duals0 = self._duals0(E, dtype=rr.primal.xs.dtype)
+        E = state.scen.x0.shape[0]
+        duals0 = self._duals0(E, dtype=state.result.primal.xs.dtype)
 
-        # warm-start policy (the Controller's per-lane advance/continue/
-        # reset, functional form): converged lanes advance one stage and
-        # feed back the executed control; sane-unconverged lanes continue
-        # from their iterate; diverged lanes (NaN-safe test) reset fresh
-        ok = rr.converged
-        diverged = jnp.logical_not(
-            jnp.logical_and(rr.eq_norm <= 0.5, rr.ineq_viol <= 0.5)
+        # warm-start policy: the SHARED fleet-cycle body (advance on
+        # convergence with executed-control feedback, continue on
+        # sane-unconverged, NaN-safe fresh reset on divergence) + the
+        # stream's chained rescue — see _fleet_cycle
+        s, r2 = self._fleet_cycle(E, state.result.primal.xs.dtype)(
+            state.scen, state.result
         )
-        x0n = jnp.where(ok[:, None], rr.primal.xs[:, 1, :], s.x0)
-        upn = jnp.where(ok[:, None], rr.primal.us[:, 0, :], s.u_prev)
-        s = dataclasses.replace(s, x0=x0n, u_prev=upn)
-        initn = where_tree(
-            ok, warm_start_resample(rr.primal, x0n, steps=1, spec=spec), rr.primal
-        )
-        dn = where_tree(ok, shift_duals(rr.duals, self.warm, steps=1), rr.duals)
-        initn = where_tree(diverged, initial_primal(spec, s), initn)
-        dn = where_tree(diverged, duals0, dn)
-        r2 = self._warm_solve(s, initn, dn)
-        if st.chained_rescue:
-            r3 = self._warm_solve(s, r2.primal, r2.duals)
-            r2 = where_tree(jnp.logical_not(r2.converged), r3, r2)
 
         conv_now = r2.converged
         # retirement decisions (pre-redraw scenario is the audit record)
@@ -216,6 +236,20 @@ class JourneyStream:
             abandoned=gave_up,
             abandoned_scen=abandoned_scen,
         )
+
+    def sample_oracle(self, state: StreamState):
+        """Per-cycle (sampled) feasibility oracle (ROADMAP r4: "the serving
+        oracle runs on final states only"): re-solve the CURRENT journeys
+        cold at the generous budget from a fresh seed and return
+        ``(feasible_mask, last_cycle_converged)`` so the caller can
+        accumulate a serving-side conv_on_feasible over sampled cycles.
+        Call BETWEEN timed blocks — one extra compiled dispatch each time.
+        """
+        E = state.scen.x0.shape[0]
+        r = self._cold_solve(
+            state.scen, initial_primal(self.spec, state.scen), self._duals0(E)
+        )
+        return r.converged, state.result.converged
 
     # -- offline audit ------------------------------------------------------- #
     @staticmethod

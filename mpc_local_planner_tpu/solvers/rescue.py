@@ -34,6 +34,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from mpc_local_planner_tpu.core.tree import where_tree
 from mpc_local_planner_tpu.ocp.grid import initial_primal
 from mpc_local_planner_tpu.ocp.spec import OcpSpec
 from mpc_local_planner_tpu.solvers.al_sqp import (
@@ -142,15 +143,8 @@ def make_rescue(
         fresh_d = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (k,) + a.shape), duals0
         )
-        sel = lambda m, a, b: jax.tree_util.tree_map(  # noqa: E731
-            lambda x, y: jnp.where(
-                m.reshape(m.shape + (1,) * (x.ndim - m.ndim)), x, y
-            ),
-            a,
-            b,
-        )
-        init_k = sel(diverged, fresh_p, primal_k)
-        din_k = sel(diverged, fresh_d, duals_k)
+        init_k = where_tree(diverged, fresh_p, primal_k)
+        din_k = where_tree(diverged, fresh_d, duals_k)
 
         out_k = jax.vmap(solve)(scen_k, init_k, din_k)
 

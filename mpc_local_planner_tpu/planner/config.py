@@ -289,6 +289,18 @@ class SolverNs:
     # Cost ≈ k× the warm cycle — for offline / accuracy-critical serving,
     # not fleet throughput. 0 disables.
     polish_launches: int = 0
+    # double-precision fallback (r5, the last escalation tier): lanes still
+    # unconverged after the solve (+ rescue) are re-solved in float64 on
+    # the host CPU at the cold budget and merged back where f64 converged
+    # (solvers/f64_fallback.py). Parity: IPOPT certifies essentially every
+    # feasible instance because it runs f64 on the host; the residual
+    # per-family gap (1-7 lanes/128, BENCH_NOTES r5) is f32-precision-
+    # bound. Value = straggler chunk size (static CPU program shape; ALL
+    # stragglers are processed in chunks, nothing is truncated). Costs a
+    # host round trip + a CPU solve per chunk — an offline / accuracy-
+    # critical knob, Controller path only (host-side; unavailable inside
+    # the in-graph serving scan). 0 disables.
+    f64_fallback_slots: int = 0
 
     def settings(self, spec: OcpSpec) -> SolverSettings:
         over: Dict[str, Any] = {}

@@ -96,6 +96,12 @@ class Controller:
                 f"unknown solver.type {config.solver.type!r}; "
                 "options: al_sqp, lsq_lm"
             )
+        if config.solver.f64_fallback_slots > 0 and config.solver.type != "al_sqp":
+            raise ValueError(
+                "solver.f64_fallback_slots requires solver.type: al_sqp "
+                "(the f64 escalation re-solves with the AL-SQP pipeline and "
+                "continues from its dual structure)"
+            )
         self.settings = config.solver_settings(self.spec)
         # warm-started cycles use a small iteration budget (parity: the
         # reference relies on warm starts + IPOPT iteration caps to hit the
@@ -120,6 +126,7 @@ class Controller:
         # its own cached compiled solve (host-side N ladder — SURVEY §8).
         self._spec = self.spec
         self._cache = {}
+        self._f64_cache = {}  # per-N compiled f64 fallback (host-side)
         g = config.grid
         self._adapt = bool(g.grid_adaptation_enable)
         if self._adapt and batch is not None:
@@ -246,6 +253,43 @@ class Controller:
                     fn = jax.jit(_singleton_vmap(_solve))
             self._cache[key] = fn
         return fn
+
+    def _f64_pass(self, scenario, result):
+        """Double-precision host fallback (solver.f64_fallback_slots).
+
+        Judges convergence at the WARM tolerance (the pipeline's shipping
+        tol and the headline metric's) with the cold depth as a converge-
+        or-exhausted cap — so a merged ``converged`` flag means exactly
+        what the flags it replaces mean.
+        """
+        from mpc_local_planner_tpu.solvers.f64_fallback import make_f64_fallback
+
+        fb = self._f64_cache.get(self._spec.N)
+        if fb is None:
+            # depth = at least the family cold preset, regardless of how
+            # shallow the configured cycle budget is (IPOPT semantics: the
+            # escalation runs to convergence, not to the cycle cap; the
+            # early_exit while_loop makes the depth a cap, not a cost)
+            from mpc_local_planner_tpu.solvers.al_sqp import SolverSettings
+
+            preset = SolverSettings.for_spec(self._spec)
+            s = dataclasses.replace(
+                preset,
+                n_al=max(self.settings.n_al, preset.n_al),
+                n_sqp=max(self.settings.n_sqp, preset.n_sqp),
+                early_exit=True,
+                tol_eq=self.warm_settings.tol_eq,
+                tol_ineq=self.warm_settings.tol_ineq,
+            )
+            fb = make_f64_fallback(
+                self._spec, s, self.config.solver.f64_fallback_slots
+            )
+            self._f64_cache[self._spec.N] = fb
+        if self.batch is None:
+            up = lambda t: jax.tree_util.tree_map(lambda a: a[None], t)  # noqa: E731
+            out = fb(up(scenario), up(result))
+            return jax.tree_util.tree_map(lambda a: a[0], out)
+        return fb(scenario, result)
 
     def calibrate_cycle_budget(self, scenario, phase_ms: Optional[float] = None) -> float:
         """Calibrate the wall-clock cycle budget (solver.max_cycle_ms).
@@ -643,6 +687,12 @@ class Controller:
             self.calibrate_cycle_budget(scenario)
 
         result = self._solver_fn(warm=not cold)(scenario, init, duals)
+        if self.config.solver.f64_fallback_slots > 0:
+            # IPOPT-parity escalation tier (solvers/f64_fallback.py): lanes
+            # the f32 pipeline (+ rescue) left unconverged re-solve in f64
+            # on the host CPU; applied BEFORE the warm-state update so the
+            # rescued iterates seed the next cycle
+            result = self._f64_pass(scenario, result)
 
         self._steps_since_reinit = 0 if cold else self._steps_since_reinit + 1
         if self.config.solver.stuck_restart_cycles > 0:

@@ -41,6 +41,9 @@ jax.config.update("jax_enable_x64", True)
 # decorators so the tier stays auditable in one place.
 # --------------------------------------------------------------------------- #
 SLOW_TESTS = {
+    # f64 escalation tier (each compiles a full-depth f64 CPU solve)
+    "test_controller_f64_fallback_batched_converges_what_f32_left",
+    "test_f64_fallback_improves_stragglers_and_preserves_converged",
     # fused-kernel interpret-mode equivalence (each compiles the whole solve)
     "test_fused_matches_xla_end_to_end",
     "test_fused_dynamic_obstacles_match_xla",

@@ -687,6 +687,9 @@ def families_mode():
                 jax.tree_util.tree_map(
                     lambda a: np.asarray(a[:ncal]), oracle_seed
                 ),
+                # full sub-batch SolveResult for the optional f64
+                # escalation measurement (BENCH_F64 below)
+                jax.tree_util.tree_map(lambda a: np.asarray(a[:ncal]), r),
             )
         print(json.dumps({"family": name, **table[name]}), flush=True)
 
@@ -709,7 +712,16 @@ def families_mode():
         # certified by the f64 pipeline OR by the oracle's own converged
         # point" (a certificate is a certificate, whoever found it).
         cal_tol = float(os.environ.get("BENCH_CALIBRATE_TOL", "1e-3"))
-        for name, (scen_c, conv_c, feas_c, spec_c, seed_c) in calib_inputs.items():
+        # BENCH_F64=K (late r5): apply the f64 escalation tier
+        # (solvers/f64_fallback.py, chunk size K) to the calibration
+        # sub-batch's final warm result and report conv_on_feasible against
+        # the golden denominator WITH the tier on — the measured form of the
+        # IPOPT-parity claim that the residual per-family gap is
+        # f32-precision-bound and the f64 pass closes it.
+        f64_slots = int(os.environ.get("BENCH_F64", "0"))
+        for name, (
+            scen_c, conv_c, feas_c, spec_c, seed_c, r_c
+        ) in calib_inputs.items():
             t0 = time.perf_counter()
             with jax.default_device(jax.devices("cpu")[0]):
                 labels, details = classify_feasibility(
@@ -759,6 +771,43 @@ def families_mode():
                 },
                 "classify_s": round(time.perf_counter() - t0, 1),
             }
+            if f64_slots > 0:
+                import dataclasses as _dc
+
+                from mpc_local_planner_tpu.solvers.al_sqp import (
+                    SolverSettings as _SS,
+                )
+                from mpc_local_planner_tpu.solvers.f64_fallback import (
+                    make_f64_fallback,
+                )
+
+                t64 = time.perf_counter()
+                s64 = _dc.replace(
+                    _SS.for_spec(spec_c),
+                    early_exit=True, tol_eq=cal_tol, tol_ineq=cal_tol,
+                )
+                fb = make_f64_fallback(spec_c, s64, f64_slots)
+                out64 = fb(
+                    jax.tree_util.tree_map(jnp.asarray, scen_c),
+                    jax.tree_util.tree_map(jnp.asarray, r_c),
+                    # diverged-lane restart seed = the plan-seeded oracle
+                    # seed (built from CURRENT states; straight-line would
+                    # re-trap wall-world stragglers)
+                    fresh_primal=jax.tree_util.tree_map(jnp.asarray, seed_c),
+                )
+                conv64 = np.asarray(out64.converged)
+                cal["f64"] = {
+                    "slots": f64_slots,
+                    "rescued": int((conv64 & ~conv_c).sum()),
+                    "stragglers": int((~conv_c).sum()),
+                    "conv_on_feasible_golden": round(
+                        float((conv64 & gold).sum() / n_gold), 3
+                    ),
+                    "conv_on_feasible_union": round(
+                        float((conv64 & union).sum() / n_union), 3
+                    ),
+                    "fallback_s": round(time.perf_counter() - t64, 1),
+                }
             table[name]["golden_calibration"] = cal
             print(json.dumps({"family": name, "golden_calibration": cal}),
                   flush=True)

@@ -254,7 +254,7 @@ class Controller:
             self._cache[key] = fn
         return fn
 
-    def _f64_pass(self, scenario, result):
+    def _f64_pass(self, scenario, result, fresh_seed=None):
         """Double-precision host fallback (solver.f64_fallback_slots).
 
         Judges convergence at the WARM tolerance (the pipeline's shipping
@@ -286,10 +286,15 @@ class Controller:
             )
             self._f64_cache[self._spec.N] = fb
         if self.batch is None:
-            up = lambda t: jax.tree_util.tree_map(lambda a: a[None], t)  # noqa: E731
-            out = fb(up(scenario), up(result))
+            up = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda a: a[None], t
+            )
+            out = fb(
+                up(scenario), up(result),
+                None if fresh_seed is None else up(fresh_seed),
+            )
             return jax.tree_util.tree_map(lambda a: a[0], out)
-        return fb(scenario, result)
+        return fb(scenario, result, fresh_seed)
 
     def calibrate_cycle_budget(self, scenario, phase_ms: Optional[float] = None) -> float:
         """Calibrate the wall-clock cycle budget (solver.max_cycle_ms).
@@ -625,6 +630,7 @@ class Controller:
                 init = primal_from_plan(self._spec, plan, scenario.x0)
             else:
                 init = initial_primal(self._spec, scenario)
+            fresh_seed = init  # the f64 tier's diverged-lane restart seed
             duals = self._fresh_duals()
         else:
             if self._adapt:
@@ -665,6 +671,7 @@ class Controller:
             else:
                 fresh_p = initial_primal(self._spec, scenario)
             init = where_tree(diverged, fresh_p, init)
+            fresh_seed = fresh_p  # plan-seeded when a plan was given
             duals = where_tree(diverged, self._fresh_duals(), duals)
             # re-anchor stage 0 to the measured state on EVERY lane: the
             # solver treats x_0 as fixed data, and the continue branch would
@@ -692,7 +699,7 @@ class Controller:
             # the f32 pipeline (+ rescue) left unconverged re-solve in f64
             # on the host CPU; applied BEFORE the warm-state update so the
             # rescued iterates seed the next cycle
-            result = self._f64_pass(scenario, result)
+            result = self._f64_pass(scenario, result, fresh_seed)
 
         self._steps_since_reinit = 0 if cold else self._steps_since_reinit + 1
         if self.config.solver.stuck_restart_cycles > 0:

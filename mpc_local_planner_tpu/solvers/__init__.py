@@ -9,8 +9,9 @@ Riccati sweep (SURVEY.md §8 steps 3-5).
 from mpc_local_planner_tpu.solvers.golden import solve_golden
 from mpc_local_planner_tpu.solvers.al_sqp import SolverSettings, SolveResult, make_solver
 from mpc_local_planner_tpu.solvers.rescue import make_rescue
+from mpc_local_planner_tpu.solvers.f64_fallback import make_f64_fallback
 
 __all__ = [
     "solve_golden", "SolverSettings", "SolveResult", "make_solver",
-    "make_rescue",
+    "make_rescue", "make_f64_fallback",
 ]

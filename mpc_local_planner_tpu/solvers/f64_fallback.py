@@ -78,9 +78,12 @@ def make_f64_fallback(
 
     Lanes whose f32 iterate is finite and not blown up (eq/ineq ≤
     divergence_threshold) CONTINUE from it in f64; diverged lanes restart
-    from the fresh straight-line init — the same policy as the TPU rescue
-    (solvers/rescue.py). Lanes the f64 solve also fails keep their original
-    f32 result untouched (nothing is ever overwritten with a worse state).
+    from ``fallback``'s optional full-batch ``fresh_primal`` seed (the
+    plan-seeded init the Controller already computes — the A*-reseed
+    analog of the rescue's fresh_init hook) or the straight-line init when
+    none is given — the same policy as the TPU rescue (solvers/rescue.py).
+    Lanes the f64 solve also fails keep their original f32 result
+    untouched (nothing is ever overwritten with a worse state).
     """
     if slots <= 0:
         raise ValueError(f"slots must be positive, got {slots}")
@@ -89,7 +92,7 @@ def make_f64_fallback(
         jax.vmap(lambda s, i, d: solve_single(spec, settings, s, i, d))
     )
 
-    def fallback(scenario, result: SolveResult) -> SolveResult:
+    def fallback(scenario, result: SolveResult, fresh_primal=None) -> SolveResult:
         conv = np.asarray(result.converged)
         idx_all = np.nonzero(~conv)[0]
         if idx_all.size == 0:
@@ -99,6 +102,11 @@ def make_f64_fallback(
         # one host fetch; chunks below slice these numpy snapshots
         h_scen, h_primal, h_duals = jax.tree_util.tree_map(
             np.asarray, (scenario, result.primal, result.duals)
+        )
+        h_fresh = (
+            None
+            if fresh_primal is None
+            else jax.tree_util.tree_map(np.asarray, fresh_primal)
         )
         eq = np.asarray(result.eq_norm)
         iv = np.asarray(result.ineq_viol)
@@ -127,7 +135,12 @@ def make_f64_fallback(
                 duals_k = jax.device_put(
                     _cast_floating(take(h_duals), jnp.float64), cpu
                 )
-                fresh_p = initial_primal(spec, scen_k)
+                if h_fresh is None:
+                    fresh_p = initial_primal(spec, scen_k)
+                else:
+                    fresh_p = jax.device_put(
+                        _cast_floating(take(h_fresh), jnp.float64), cpu
+                    )
                 fresh_d = jax.tree_util.tree_map(
                     lambda a: jnp.broadcast_to(a, (k,) + a.shape),
                     init_duals(spec, settings, dtype=jnp.float64),

@@ -109,6 +109,42 @@ def test_f64_fallback_restarts_nonfinite_lanes_fresh():
     assert bool(out.converged[bad])
 
 
+def test_f64_fallback_fresh_primal_seeds_diverged_restart():
+    """The optional full-batch fresh_primal (the Controller's plan-seeded
+    init — the rescue's A*-reseed analog) is what diverged lanes restart
+    from. Differential probe: a NaN'd straggler given a 1-iteration f64
+    budget converges iff seeded with the known solution (from the straight
+    line, 1 iteration provably cannot — the lane was a 48-iteration f32
+    straggler)."""
+    spec, tiny, scen, r = _mixed_result()
+    conv0 = np.asarray(r.converged)
+    bad = int(np.nonzero(~conv0)[0][0])
+    deep = SolverSettings.for_spec(spec, tol_eq=1e-3, tol_ineq=1e-3)
+    init = initial_primal(spec, scen)
+    duals = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (conv0.size,) + a.shape),
+        init_duals(spec, deep, dtype=jnp.float32),
+    )
+    r_deep = jax.jit(
+        jax.vmap(lambda s, i, d: solve_single(spec, deep, s, i, d))
+    )(scen, init, duals)
+    assert bool(r_deep.converged[bad])  # the fixture lane is feasible
+
+    r_nan = dc.replace(
+        r,
+        primal=dc.replace(r.primal, xs=r.primal.xs.at[bad].set(jnp.nan)),
+        eq_norm=r.eq_norm.at[bad].set(jnp.nan),
+    )
+    one_iter = SolverSettings.for_spec(
+        spec, n_al=1, n_sqp=1, tol_eq=1e-3, tol_ineq=1e-3
+    )
+    fb = make_f64_fallback(spec, one_iter, slots=8)
+    seeded = fb(scen, r_nan, fresh_primal=r_deep.primal)
+    unseeded = fb(scen, r_nan)
+    assert bool(seeded.converged[bad])
+    assert not bool(unseeded.converged[bad])
+
+
 def test_f64_fallback_rejects_nonpositive_slots():
     spec = config3_carlike_min_time(N=8, obstacle_cap=0)
     with pytest.raises(ValueError, match="slots"):

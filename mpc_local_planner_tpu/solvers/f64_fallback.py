@@ -76,14 +76,18 @@ def make_f64_fallback(
     the pipeline's shipping tolerance, so the merged ``converged`` flag
     means the same thing as the flags it replaces.
 
-    Lanes whose f32 iterate is finite and not blown up (eq/ineq ≤
-    divergence_threshold) CONTINUE from it in f64; diverged lanes restart
-    from ``fallback``'s optional full-batch ``fresh_primal`` seed (the
-    plan-seeded init the Controller already computes — the A*-reseed
-    analog of the rescue's fresh_init hook) or the straight-line init when
-    none is given — the same policy as the TPU rescue (solvers/rescue.py).
-    Lanes the f64 solve also fails keep their original f32 result
-    untouched (nothing is ever overwritten with a worse state).
+    Two attempts per chunk: lanes whose f32 iterate is finite and not
+    blown up (eq/ineq ≤ divergence_threshold) first CONTINUE from it in
+    f64 (diverged lanes restart immediately); whatever the continuation
+    leaves unconverged is re-solved from the fresh seed — ``fallback``'s
+    optional full-batch ``fresh_primal`` (the plan-seeded init the
+    Controller already computes — the A*-reseed analog of the rescue's
+    fresh_init hook) or the straight-line init when none is given. The
+    second attempt exists because basin-trapped stragglers stay trapped
+    under f64 continuation; a fresh plan-seeded f64 solve is exactly the
+    golden classifier's feasibility certificate. Lanes both attempts fail
+    keep their original f32 result untouched (nothing is ever overwritten
+    with a worse state).
     """
     if slots <= 0:
         raise ValueError(f"slots must be positive, got {slots}")
@@ -149,6 +153,20 @@ def make_f64_fallback(
                 init_k = where_tree(sane_dev, primal_k, fresh_p)
                 din_k = where_tree(sane_dev, duals_k, fresh_d)
                 out = solve64(scen_k, init_k, din_k)
+                # second attempt — fresh restart for the continuation's
+                # leftovers: a sane-but-basin-trapped straggler continues
+                # from its trapped f32 iterate in f64 and stays trapped
+                # (measured on the wall family: continuation rescued only
+                # 2 of 4 f64-certified stragglers; the certificate is a
+                # FRESH plan-seeded f64 solve, so replicate it — the same
+                # lesson as stuck_restart_cycles)
+                retry = np.asarray(out.converged) == False  # noqa: E712
+                if (retry & sane).any():
+                    out2 = solve64(scen_k, fresh_p, fresh_d)
+                    take2 = jnp.logical_and(
+                        jnp.logical_not(out.converged), out2.converged
+                    )
+                    out = where_tree(take2, out2, out)
                 keep = np.asarray(out.converged)
                 out_host = jax.tree_util.tree_map(np.asarray, out)
             if not keep.any():

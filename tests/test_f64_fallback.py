@@ -145,6 +145,44 @@ def test_f64_fallback_fresh_primal_seeds_diverged_restart():
     assert not bool(unseeded.converged[bad])
 
 
+def test_f64_fallback_second_attempt_restarts_trapped_sane_lanes():
+    """A sane-but-trapped straggler (finite iterate, small norms —
+    continuation eligible) whose continuation fails must be re-solved from
+    the fresh seed (attempt 2). Probe: zero out a straggler's iterate but
+    FORGE sane norms; under a 1-iteration budget continuation from zeros
+    cannot converge, so only the fresh-seed second attempt (seeded here
+    with the known solution) can — and must."""
+    spec, tiny, scen, r = _mixed_result()
+    conv0 = np.asarray(r.converged)
+    bad = int(np.nonzero(~conv0)[0][0])
+    deep = SolverSettings.for_spec(spec, tol_eq=1e-3, tol_ineq=1e-3)
+    init = initial_primal(spec, scen)
+    duals = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (conv0.size,) + a.shape),
+        init_duals(spec, deep, dtype=jnp.float32),
+    )
+    r_deep = jax.jit(
+        jax.vmap(lambda s, i, d: solve_single(spec, deep, s, i, d))
+    )(scen, init, duals)
+    assert bool(r_deep.converged[bad])
+
+    r_trap = dc.replace(
+        r,
+        primal=dc.replace(
+            r.primal, xs=r.primal.xs.at[bad].set(0.0),
+            us=r.primal.us.at[bad].set(0.0),
+        ),
+        eq_norm=r.eq_norm.at[bad].set(0.4),   # forged: sane on paper,
+        ineq_viol=r.ineq_viol.at[bad].set(0.0),  # trapped in practice
+    )
+    one_iter = SolverSettings.for_spec(
+        spec, n_al=1, n_sqp=1, tol_eq=1e-3, tol_ineq=1e-3
+    )
+    fb = make_f64_fallback(spec, one_iter, slots=8)
+    out = fb(scen, r_trap, fresh_primal=r_deep.primal)
+    assert bool(out.converged[bad])
+
+
 def test_f64_fallback_rejects_nonpositive_slots():
     spec = config3_carlike_min_time(N=8, obstacle_cap=0)
     with pytest.raises(ValueError, match="slots"):
